@@ -1,0 +1,103 @@
+"""Hash layer: sha256 / blake2s256, host + device-vectorized.
+
+`create_hash(algorithm)` mirrors the reference merkle package factory
+(consumed at /root/reference/lib/Stark.ts:50).  The Hash object provides the
+same surface the protocol engine needs (SURVEY.md section 1, L2):
+
+- digest(bytes) -> bytes                       (host, Fiat-Shamir-sized)
+- digest_rows(words_le, msg_bytes)             (device batch; [B, 8] LE words)
+- merge_element_rows(vectors_std)              (leaf-per-index over vectors =
+                                                `mergeVectorRows`)
+- hash_pairs(digests)                          (one Merkle tree level)
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import sha256 as _sha256
+from . import blake2s as _blake2s
+
+HASH_ALGORITHMS = ("sha256", "blake2s256")
+
+
+def digests_to_bytes(digests: np.ndarray) -> List[bytes]:
+    """uint32[B, 8] LE-word digests -> list of 32-byte digests."""
+    arr = np.ascontiguousarray(digests.astype("<u4"))
+    raw = arr.tobytes()
+    return [raw[i * 32:(i + 1) * 32] for i in range(arr.shape[0])]
+
+
+def bytes_to_words_le(data: bytes) -> np.ndarray:
+    """bytes -> uint32 LE-byte words (zero-padded to word boundary)."""
+    pad = (-len(data)) % 4
+    return np.frombuffer(data + b"\x00" * pad, dtype="<u4").astype(np.uint32)
+
+
+def elements_to_words(limbs: jnp.ndarray) -> jnp.ndarray:
+    """Standard-form 16-bit limb array [L, N] -> LE-byte words [N, L/2].
+
+    Element byte layout is little-endian (reference wire format), so word k
+    of element j is limbs[2k, j] | limbs[2k+1, j] << 16.
+    """
+    L = limbs.shape[0]
+    assert L % 2 == 0
+    lo = limbs[0::2]
+    hi = limbs[1::2]
+    words = lo | (hi << np.uint32(16))          # [L/2, N]
+    return jnp.swapaxes(words, 0, 1)            # [N, L/2]
+
+
+class Hash:
+    def __init__(self, algorithm: str):
+        if algorithm not in HASH_ALGORITHMS:
+            raise ValueError(f"Hash algorithm {algorithm} is not supported")
+        self.algorithm = algorithm
+        self._mod = _sha256 if algorithm == "sha256" else _blake2s
+        self.digest_size = 32
+        self.is_optimized = True
+
+    # ----- host path --------------------------------------------------------
+    def digest(self, data: bytes) -> bytes:
+        return self._mod.digest_host(data)
+
+    # ----- device batch paths ----------------------------------------------
+    def digest_rows(self, words_le: jnp.ndarray, msg_bytes: int) -> jnp.ndarray:
+        """Hash B equal-size messages: uint32[B, W] LE words -> [B, 8]."""
+        return self._mod.digest_rows_le(words_le, msg_bytes)
+
+    def merge_element_rows(self, vectors_std: Sequence[jnp.ndarray],
+                           element_size: int) -> jnp.ndarray:
+        """Leaf hashing across vectors: leaf_i = H(v0[i] || v1[i] || ...).
+
+        vectors_std: list of standard-form limb arrays [L, N].
+        Equivalent of merkle `mergeVectorRows` (/root/reference/lib/Stark.ts:115).
+        """
+        words = jnp.concatenate([elements_to_words(v) for v in vectors_std], axis=1)
+        return self.digest_rows(words, element_size * len(vectors_std))
+
+    def digest_stride_rows(self, values_std: jnp.ndarray, element_size: int) -> jnp.ndarray:
+        """FRI row hashing: values [L, N] -> rows r = [v[r], v[r+M], v[r+2M],
+        v[r+3M]] with M = N/4, hash each 4-element row.
+
+        Equivalent of `digestValues(matrix.toBuffer(), 4*elementSize)` on the
+        stride-transposed matrix (/root/reference/lib/components/LowDegreeProver.ts:42-45).
+        """
+        L, N = values_std.shape
+        M = N // 4
+        cols = [elements_to_words(values_std[:, k * M:(k + 1) * M]) for k in range(4)]
+        words = jnp.concatenate(cols, axis=1)   # [M, 4*L/2]
+        return self.digest_rows(words, element_size * 4)
+
+    def hash_pairs(self, digests: jnp.ndarray) -> jnp.ndarray:
+        """One Merkle level: uint32[2N, 8] -> uint32[N, 8]."""
+        n = digests.shape[0] // 2
+        pairs = digests.reshape(n, 16)
+        return self.digest_rows(pairs, 64)
+
+
+def create_hash(algorithm: str) -> Hash:
+    return Hash(algorithm)

@@ -1,0 +1,105 @@
+"""Vectorized BLAKE2s-256 over uint32 word lanes (device) + hashlib host path.
+
+The reference's perf-tuned examples use blake2s256 as the Merkle hash
+(e.g. /root/reference/examples/mimc/mimc128.ts:23, supported algorithms at
+/root/reference/lib/Stark.ts:19-20).  This implementation matches RFC 7693
+BLAKE2s with digest_length=32, no key — identical to python hashlib.blake2s.
+
+Message convention matches sha256.py: uint32 LE-byte words in and out
+(BLAKE2s is natively little-endian, so no byteswaps are needed).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import jax.numpy as jnp
+import numpy as np
+
+_IV = np.array([
+    0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A,
+    0x510E527F, 0x9B05688C, 0x1F83D9AB, 0x5BE0CD19], dtype=np.uint32)
+
+_SIGMA = [
+    [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15],
+    [14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3],
+    [11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4],
+    [7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8],
+    [9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13],
+    [2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9],
+    [12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11],
+    [13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10],
+    [6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5],
+    [10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0],
+]
+
+
+def _rotr(x, n):
+    return (x >> np.uint32(n)) | (x << np.uint32(32 - n))
+
+
+def _compress(h, m, t, last):
+    """h: [..., 8]; m: list of 16 [...] words; t: byte counter (int); last: bool."""
+    v = [h[..., i] for i in range(8)] + [jnp.broadcast_to(jnp.uint32(_IV[i]), h.shape[:-1])
+                                         for i in range(8)]
+    v[12] = v[12] ^ jnp.uint32(t & 0xFFFFFFFF)
+    v[13] = v[13] ^ jnp.uint32((t >> 32) & 0xFFFFFFFF)
+    if last:
+        v[14] = v[14] ^ jnp.uint32(0xFFFFFFFF)
+
+    def G(a, b, c, d, x, y):
+        a = a + b + x
+        d = _rotr(d ^ a, 16)
+        c = c + d
+        b = _rotr(b ^ c, 12)
+        a = a + b + y
+        d = _rotr(d ^ a, 8)
+        c = c + d
+        b = _rotr(b ^ c, 7)
+        return a, b, c, d
+
+    for r in range(10):
+        s = _SIGMA[r]
+        v[0], v[4], v[8], v[12] = G(v[0], v[4], v[8], v[12], m[s[0]], m[s[1]])
+        v[1], v[5], v[9], v[13] = G(v[1], v[5], v[9], v[13], m[s[2]], m[s[3]])
+        v[2], v[6], v[10], v[14] = G(v[2], v[6], v[10], v[14], m[s[4]], m[s[5]])
+        v[3], v[7], v[11], v[15] = G(v[3], v[7], v[11], v[15], m[s[6]], m[s[7]])
+        v[0], v[5], v[10], v[15] = G(v[0], v[5], v[10], v[15], m[s[8]], m[s[9]])
+        v[1], v[6], v[11], v[12] = G(v[1], v[6], v[11], v[12], m[s[10]], m[s[11]])
+        v[2], v[7], v[8], v[13] = G(v[2], v[7], v[8], v[13], m[s[12]], m[s[13]])
+        v[3], v[4], v[9], v[14] = G(v[3], v[4], v[9], v[14], m[s[14]], m[s[15]])
+
+    out = [h[..., i] ^ v[i] ^ v[i + 8] for i in range(8)]
+    return jnp.stack(out, axis=-1)
+
+
+def digest_rows_le(words_le: jnp.ndarray, msg_bytes: int) -> jnp.ndarray:
+    """BLAKE2s-256 of B equal-length messages.
+
+    words_le: uint32[B, ceil(msg_bytes/4)] LE-byte words (partial word
+    zero-padded).  Returns uint32[B, 8] digests in LE-word form.
+    """
+    B, n_words = words_le.shape
+    assert n_words == (msg_bytes + 3) // 4
+    n_blocks = max(1, (msg_bytes + 63) // 64)
+    total_words = n_blocks * 16
+    if total_words > n_words:
+        pad = jnp.zeros((B, total_words - n_words), dtype=jnp.uint32)
+        msg = jnp.concatenate([words_le, pad], axis=1)
+    else:
+        msg = words_le
+
+    # parameter block: digest_length=32, fanout=1, depth=1
+    h = jnp.broadcast_to(jnp.asarray(_IV), (B, 8))
+    h = h.at[:, 0].set(h[:, 0] ^ jnp.uint32(0x01010020))
+
+    for blk in range(n_blocks):
+        last = blk == n_blocks - 1
+        t = msg_bytes if last else (blk + 1) * 64
+        m = [msg[:, blk * 16 + i] for i in range(16)]
+        h = _compress(h, m, t, last)
+    return h
+
+
+def digest_host(data: bytes) -> bytes:
+    return hashlib.blake2s(data).digest()
