@@ -63,6 +63,27 @@ def get_plan(field: PrimeField, n: int, inverse: bool) -> NttPlan:
     return NttPlan(field, n, inverse)
 
 
+@lru_cache(maxsize=None)
+def _jitted_transform(field: PrimeField, n: int, inverse: bool):
+    """Whole-transform jit (cached per field/size/direction); jax re-traces
+    per batch shape automatically."""
+    plan = get_plan(field, n, inverse)
+
+    def run(a):
+        out = _ntt_core(field, a, plan)
+        if inverse:
+            dev = field.device
+            n_inv = dev.const(plan.n_inv, shape=(1,))
+            if out.ndim == 2:
+                return dev.mont_mul(out, n_inv)
+            moved = jnp.moveaxis(out, -2, 0)
+            scaled = dev.mont_mul(moved, n_inv)
+            return jnp.moveaxis(scaled, 0, -2)
+        return out
+
+    return jax.jit(run)
+
+
 def _ntt_core(field: PrimeField, a: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
     """Core transform. a: [..., L, n] (Montgomery). Returns same shape.
 
@@ -102,23 +123,14 @@ def ntt(field: PrimeField, values: jnp.ndarray, n: Optional[int] = None) -> jnp.
     """Forward NTT: evaluations of the polynomial (coeffs=values) at the
     powers of the canonical n-th root of unity.  values: [L, n] or [B, L, n]."""
     n = n or values.shape[-1]
-    plan = get_plan(field, n, False)
-    return _ntt_core(field, values, plan)
+    return _jitted_transform(field, n, False)(values)
 
 
 def intt(field: PrimeField, values: jnp.ndarray) -> jnp.ndarray:
     """Inverse NTT: interpolation over the canonical domain (galois
     `interpolateRoots`).  Scales by n^-1."""
     n = values.shape[-1]
-    plan = get_plan(field, n, True)
-    out = _ntt_core(field, values, plan)
-    n_inv = field.device.const(plan.n_inv, shape=(1,))
-    dev = field.device
-    if out.ndim == 2:
-        return dev.mont_mul(out, n_inv)
-    moved = jnp.moveaxis(out, -2, 0)
-    scaled = dev.mont_mul(moved, n_inv.reshape((out.shape[-2],) + (1,) * (out.ndim - 2)))
-    return jnp.moveaxis(scaled, 0, -2)
+    return _jitted_transform(field, n, True)(values)
 
 
 def low_degree_extend(field: PrimeField, coeffs: jnp.ndarray, target_n: int) -> jnp.ndarray:
