@@ -97,6 +97,14 @@ class DeviceField:
         pathological compile times in XLA:CPU.
         """
         L = self.L
+        # normalize ranks: batch axes broadcast right-aligned AFTER the limb
+        # axis, so a lower-rank operand gets singleton batch dims inserted
+        # right after axis 0 (plain right-alignment would smear the limb axis
+        # into a batch axis).
+        if a.ndim < b.ndim:
+            a = a.reshape((L,) + (1,) * (b.ndim - a.ndim) + a.shape[1:])
+        elif b.ndim < a.ndim:
+            b = b.reshape((L,) + (1,) * (a.ndim - b.ndim) + b.shape[1:])
         shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
         acc = jnp.zeros((2 * L + 1,) + shape, dtype=_U32)
         p_arr = jnp.asarray(self._p_np).reshape((L,) + (1,) * len(shape))

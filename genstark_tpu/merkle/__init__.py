@@ -77,29 +77,36 @@ class MerkleTree:
         return cls(levels, hash_)
 
     def prove_batch(self, positions: Sequence[int]) -> BatchMerkleProof:
-        """Batched authentication paths with sibling dedup.
+        """Batched authentication paths, level-synchronized ("octopus").
 
-        Walks each position bottom-up in caller order; emits a sibling digest
-        only if the verifier cannot already derive it (it is not a queried
-        leaf, not on an already-walked path, and not previously emitted).
-        The verifier (`verify_batch`) replays the identical walk.
+        Per level, each queried subtree pair is processed once (in caller
+        order); a sibling hash is emitted — into the column of the position
+        that first reaches the pair — only when the verifier cannot compute
+        it from below.  Every emitted value feeds the upward hash toward the
+        single root comparison, so the proof is minimal and every byte is
+        load-bearing.  `verify_batch` replays the identical schedule.
         """
         assert len(set(positions)) == len(positions), "positions must be unique"
         values = [self._levels[0][p] for p in positions]
-        known = {(0, p) for p in positions}
         columns: List[List[bytes]] = [[] for _ in positions]
-        for ci, p in enumerate(positions):
-            idx = p
-            for level in range(self.depth):
-                parent = (level + 1, idx >> 1)
-                if parent in known:
-                    break
+        level_vals = {p: self._levels[0][p] for p in positions}
+        for level in range(self.depth):
+            done = set()
+            parents = {}
+            for ci, p in enumerate(positions):
+                idx = p >> level
+                if idx in done or (idx ^ 1) in done:
+                    continue
+                done.add(idx)
                 sib = idx ^ 1
-                if (level, sib) not in known:
-                    columns[ci].append(self._levels[level][sib])
-                    known.add((level, sib))
-                known.add(parent)
-                idx >>= 1
+                if sib not in level_vals:
+                    sib_val = self._levels[level][sib]
+                    columns[ci].append(sib_val)
+                    level_vals[sib] = sib_val
+                a, b = level_vals[idx], level_vals[sib]
+                left, right = (a, b) if idx % 2 == 0 else (b, a)
+                parents[idx >> 1] = self.hash.digest(left + right)
+            level_vals = parents
         return BatchMerkleProof(values=values, nodes=columns, depth=self.depth)
 
     @staticmethod
@@ -112,39 +119,38 @@ class MerkleTree:
             return False
         if len(set(positions)) != len(positions):
             return False
-        depth = proof.depth
-        node_values = {}
-        for p, v in zip(positions, proof.values):
-            if (0, p) in node_values and node_values[(0, p)] != v:
-                return False
-            node_values[(0, p)] = v
-        known = {(0, p) for p in positions}
-        try:
-            for ci, p in enumerate(positions):
-                col = proof.nodes[ci]
-                cursor = 0
-                idx = p
-                for level in range(depth):
-                    parent = (level + 1, idx >> 1)
-                    if parent in known and parent in node_values:
-                        break
-                    sib = idx ^ 1
-                    if (level, sib) not in known:
-                        sib_val = col[cursor]
-                        cursor += 1
-                        node_values[(level, sib)] = sib_val
-                        known.add((level, sib))
-                    sv = node_values.get((level, sib))
-                    mv = node_values.get((level, idx))
-                    if sv is None or mv is None:
-                        return False
-                    left, right = (mv, sv) if idx % 2 == 0 else (sv, mv)
-                    pv = hash_.digest(left + right)
-                    if parent in node_values and node_values[parent] != pv:
-                        return False
-                    node_values[parent] = pv
-                    known.add(parent)
-                    idx >>= 1
-        except IndexError:
+        if len(proof.nodes) != len(positions):
             return False
-        return node_values.get((depth, 0)) == root
+        depth = proof.depth
+        level_vals = {}
+        for p, v in zip(positions, proof.values):
+            if not (0 <= p < (1 << depth)):
+                return False
+            level_vals[p] = v
+        cursors = [0] * len(positions)
+        for level in range(depth):
+            done = set()
+            parents = {}
+            for ci, p in enumerate(positions):
+                idx = p >> level
+                if idx in done or (idx ^ 1) in done:
+                    continue
+                done.add(idx)
+                sib = idx ^ 1
+                if sib not in level_vals:
+                    col = proof.nodes[ci]
+                    if cursors[ci] >= len(col):
+                        return False
+                    level_vals[sib] = col[cursors[ci]]
+                    cursors[ci] += 1
+                a = level_vals.get(idx)
+                if a is None:
+                    return False
+                b = level_vals[sib]
+                left, right = (a, b) if idx % 2 == 0 else (b, a)
+                parents[idx >> 1] = hash_.digest(left + right)
+            level_vals = parents
+        for ci, col in enumerate(proof.nodes):
+            if cursors[ci] != len(col):
+                return False                      # trailing unconsumed nodes
+        return level_vals.get(0) == root

@@ -1,0 +1,158 @@
+"""Composition polynomial C(x) = D(x) + B(x).
+
+Faithful re-derivation of /root/reference/lib/components/CompositionPolynomial.ts:
+evaluate transition constraints Q over the composition domain, degree-adjust
+per degree group, random-linear-combine with PRNG coefficients seeded by the
+evaluation-tree root, LDE to the evaluation domain, divide by Z(x), add
+degree-adjusted boundary quotients.  The prover path is device-batched; the
+verifier path is host scalar math.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List
+
+import jax.numpy as jnp
+
+from .. import ntt
+from .boundary import BoundaryConstraints
+from .zeropoly import ZeroPolynomial
+
+
+def get_combination_degree(constraint_degrees: List[int], trace_length: int) -> int:
+    max_degree = max([1] + list(constraint_degrees))
+    return (1 << (max_degree - 1).bit_length() if max_degree > 1 else 1) * trace_length
+
+
+def group_transition_constraints(constraint_degrees: List[int], trace_length: int):
+    """Group constraint indexes by degree*traceLength, insertion-ordered
+    (CompositionPolynomial.ts:206-225)."""
+    groups = {}
+    for i, d in enumerate(constraint_degrees):
+        groups.setdefault(d * trace_length, []).append(i)
+    return [{"degree": degree, "indexes": idxs} for degree, idxs in groups.items()]
+
+
+class CompositionPolynomial:
+    def __init__(self, assertions, seed: bytes, context, logger=None):
+        self.field = context.field
+        self.context = context
+        self.log = logger or (lambda msg: None)
+        self.b_poly = BoundaryConstraints(assertions, context)
+        self.z_poly = ZeroPolynomial(context)
+
+        degrees = context.constraint_degrees
+        T = context.trace_length
+        self.combination_degree = get_combination_degree(degrees, T)
+        self.composition_degree = max(self.combination_degree - T, T)
+        self.constraint_groups = group_transition_constraints(degrees, T)
+
+        d_coefficient_count = len(degrees)
+        for group in self.constraint_groups:
+            if group["degree"] < self.combination_degree:
+                d_coefficient_count += len(group["indexes"])
+        b_coefficient_count = self.b_poly.count
+        if self.composition_degree > T:
+            b_coefficient_count *= 2
+
+        coefficients = self.field.prng(seed, d_coefficient_count + b_coefficient_count)
+        self.d_coefficients = coefficients[:d_coefficient_count]
+        self.b_coefficients = coefficients[d_coefficient_count:]
+
+    @property
+    def coefficient_count(self) -> int:
+        return len(self.d_coefficients) + len(self.b_coefficients)
+
+    # ----- prover path ------------------------------------------------------
+    def evaluate_all(self, p_polys: jnp.ndarray, p_evaluations: jnp.ndarray,
+                     context) -> jnp.ndarray:
+        """p_polys: [R, L, T] coefficients; p_evaluations: [R, L, Ne].
+        Returns C(x) evaluations [L, Ne] (Montgomery)."""
+        field = self.field
+        dev = field.device
+        f = field.host
+        Ne = context.evaluation_domain_size
+        Nc = context.composition_domain_size
+
+        q_evals = context.evaluate_transition_constraints(p_polys)   # [C, L, Nc]
+        self.log("Computed transition constraint polynomials Q(x)")
+
+        # degree adjustment over the composition domain
+        composition_factor = Ne // Nc
+        composition_rou = f.exp(context.root_of_unity, composition_factor)
+        qa = [q_evals[i] for i in range(q_evals.shape[0])]
+        for group in self.constraint_groups:
+            if group["degree"] == self.combination_degree:
+                continue
+            incremental = self.combination_degree - group["degree"]
+            power_seed = f.exp(composition_rou, incremental)
+            powers = dev.power_series(power_seed, Nc)
+            for i in group["indexes"]:
+                qa.append(dev.mul(qa[i], powers))
+        self.log("Adjusted degrees of Q(x) polynomials")
+
+        qc = dev.combine_many(qa, self.d_coefficients)               # [L, Nc]
+        self.log("Computed linear combination of Q(x) polynomials")
+
+        qc_poly = ntt.intt(field, qc)
+        qe = ntt.low_degree_extend(field, qc_poly, Ne)               # [L, Ne]
+        self.log("Performed low degree extensions of Q(x) polynomial")
+
+        domain = dev.power_series(context.root_of_unity, Ne)
+        numerators, denominators = self.z_poly.evaluate_all(domain)
+        self.log("Computed Z(x) polynomial")
+        z_inverses = dev.mul(denominators, dev.inv(numerators))
+        self.log("Computed Z(x) inverses")
+        d_evals = dev.mul(qe, z_inverses)
+        self.log("Computed D(x) polynomial")
+
+        b_vectors = self.b_poly.evaluate_all(p_evaluations, Ne)
+        self.log("Computed boundary constraint polynomials B(x)")
+
+        ba = list(b_vectors)
+        b_incremental = self.composition_degree - context.trace_length
+        if b_incremental > 0:
+            power_seed = f.exp(context.root_of_unity, b_incremental)
+            psb_powers = dev.power_series(power_seed, Ne)
+            for i in range(self.b_poly.count):
+                ba.append(dev.mul(ba[i], psb_powers))
+        self.log("Adjusted degrees of B(x) polynomials")
+
+        bc = dev.combine_many(ba, self.b_coefficients) if ba else dev.zeros((Ne,))
+        self.log("Computed linear combination of B(x) polynomials")
+
+        return dev.add(d_evals, bc)
+
+    # ----- verifier path ----------------------------------------------------
+    def evaluate_at(self, x: int, p_values: List[int], n_values: List[int],
+                    s_values: List[int], context) -> int:
+        f = self.field.host
+        q_values = context.evaluate_constraints_at(x, p_values, n_values, s_values)
+
+        for group in self.constraint_groups:
+            if group["degree"] == self.combination_degree:
+                continue
+            power = f.exp(x, self.combination_degree - group["degree"])
+            for i in group["indexes"]:
+                q_values.append(f.mul(q_values[i], power))
+
+        qc = 0
+        for v, c in zip(q_values, self.d_coefficients):
+            qc = f.add(qc, f.mul(v, c))
+
+        z = self.z_poly.evaluate_at(x)
+        d_value = f.div(qc, z)
+
+        b_values = self.b_poly.evaluate_at(p_values, x)
+        b_incremental = self.composition_degree - context.trace_length
+        if b_incremental > 0:
+            power = f.exp(x, b_incremental)
+            for i in range(self.b_poly.count):
+                b_values.append(f.mul(b_values[i], power))
+
+        b_value = 0
+        for v, c in zip(b_values, self.b_coefficients):
+            b_value = f.add(b_value, f.mul(v, c))
+
+        return f.add(d_value, b_value)

@@ -95,6 +95,32 @@ def BatchProofCopy(proof):
                             depth=proof.depth)
 
 
+def test_merkle_exhaustive_tamper_rejection():
+    """Soundness: flipping ANY single node or value byte must be rejected.
+    (Regression for the path-merge bind bug found during verification.)"""
+    rng = random.Random(13)
+    h = create_hash("sha256")
+    leaves = [hashlib.sha256(i.to_bytes(2, "big")).digest() for i in range(64)]
+    tree = MerkleTree.create_from_bytes(leaves, h)
+    for k in [1, 7, 40, 63, 64]:
+        positions = rng.sample(range(64), k)
+        proof = tree.prove_batch(positions)
+        assert MerkleTree.verify_batch(tree.root, positions, proof, h)
+        for ci, col in enumerate(proof.nodes):
+            for ni in range(len(col)):
+                bad = BatchProofCopy(proof)
+                nb = bytearray(bad.nodes[ci][ni])
+                nb[0] ^= 1
+                bad.nodes[ci][ni] = bytes(nb)
+                assert not MerkleTree.verify_batch(tree.root, positions, bad, h)
+        for vi in range(len(proof.values)):
+            bad = BatchProofCopy(proof)
+            vb = bytearray(bad.values[vi])
+            vb[0] ^= 1
+            bad.values[vi] = bytes(vb)
+            assert not MerkleTree.verify_batch(tree.root, positions, bad, h)
+
+
 def test_merkle_single_leaf():
     h = create_hash("sha256")
     leaf = hashlib.sha256(b"x").digest()
