@@ -159,8 +159,10 @@ class ProvingContext(_ContextBase):
         for k, reg in enumerate(self.schema.static_registers):
             pattern = self._cyclic_pattern(k)
             if pattern is not None:
-                reps = T // len(pattern)
-                cols.append(pattern * reps)
+                if len(pattern) > T:
+                    raise ValueError(
+                        f"cyclic register {k} period {len(pattern)} exceeds trace length {T}")
+                cols.append(pattern * (T // len(pattern)))
             elif isinstance(reg, InputRegister):
                 values = self.input_values[k]
                 steps = self._input_cycle_steps(reg)

@@ -1,0 +1,137 @@
+"""Distributed 4-step (Bailey) NTT over a 1-D device mesh.
+
+This is the sharded form of the north-star kernel (BASELINE.json): trace/LDE
+coefficients partitioned over chips, butterfly stages exchanged via a single
+all-to-all over ICI.
+
+Decomposition: N = n1 * n2, input viewed as A[i1, i2] (row-major).
+  1. local n1-point NTTs along i1 (columns i2 sharded across devices),
+  2. twiddle multiply by w^(k1 * i2)  (computed shard-locally),
+  3. all-to-all reshard: split k1, gather i2,
+  4. local n2-point NTTs along i2.
+Output block D[k1, k2] holds X[k1 + n1*k2]; `natural_output=True` performs the
+final global transpose so D equals the canonical `ntt.ntt` result (tests use
+this; a fused pipeline would keep the transposed layout and fold the
+permutation into downstream indexing).
+
+The canonical size-m roots used by the local plans are exactly w^(N/m) for
+the deterministic two-adic generator, so local stages compose correctly.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import ntt as ntt_mod
+from ..field import PrimeField
+
+
+def _vector_power_series(dev, base: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Powers 0..length-1 of a vector of bases: [L, B] -> [L, length, B]."""
+    one = jnp.broadcast_to(dev.one((1, 1)), (dev.L, 1, base.shape[-1]))
+    out = one                                    # powers 0..cur-1
+    power = base[:, None, :]                     # base^cur
+    cur = 1
+    while cur < length:
+        nxt = dev.mont_mul(out, power)           # powers cur..2cur-1
+        out = jnp.concatenate([out, nxt], axis=1)
+        power = dev.mont_mul(power, power)
+        cur *= 2
+    return out[:, :length]
+
+
+@lru_cache(maxsize=None)
+def _dist_ntt_fn(field: PrimeField, n: int, n_devices: int, inverse: bool,
+                 natural_output: bool, mesh_id: int):
+    """Build the jitted shard_map 4-step transform (cached)."""
+    from jax import shard_map
+
+    mesh = _MESHES[mesh_id]
+    dev = field.device
+    f = field.host
+    axis = mesh.axis_names[0]
+    D = n_devices
+    # pick n2 as the sharded input axis: n2 must be divisible by D, n1 by D
+    n1 = 1 << ((n.bit_length() - 1) // 2)
+    n2 = n // n1
+    if n1 < D or n2 < D:
+        raise ValueError(f"domain {n} too small for {D} devices")
+
+    w = f.get_root_of_unity(n)
+    if inverse:
+        w = f.inv(w)
+    # per-column twiddle bases w^(i2): a power series over the full n2 axis,
+    # sharded the same way as the data (each device gets its own i2 slice)
+    base_full = dev.power_series(w, n2)                     # [L, n2]
+    n_inv = f.inv(n % field.modulus) if inverse else None
+    # materialize local plans eagerly — building them lazily inside the traced
+    # body would cache tracers in the plan cache (leak)
+    plans = {n1: ntt_mod.get_plan(field, n1, inverse),
+             n2: ntt_mod.get_plan(field, n2, inverse)}
+
+    def local_ntt(block, size):
+        # block: [L, B1, size] -> ntt along last axis
+        moved = jnp.moveaxis(block, 0, 1)                   # [B1, L, size]
+        out = ntt_mod._ntt_core(field, moved, plans[size])
+        return jnp.moveaxis(out, 1, 0)
+
+    def body(a_block, base_block):
+        # a_block: [L, n1, n2/D]; base_block: [L, n2/D]
+        blk = jnp.moveaxis(a_block, 2, 1)                   # [L, n2/D, n1]
+        blk = local_ntt(blk, n1)                            # NTT over i1
+        blk = jnp.moveaxis(blk, 1, 2)                       # [L, n1, n2/D]
+        # twiddle: w^(k1 * i2) = (w^(i2))^(k1)
+        tw = _vector_power_series(dev, base_block, n1)      # [L, n1, n2/D]
+        blk = dev.mont_mul(blk, tw)
+        # reshard: split k1 across devices, gather full i2
+        blk = jax.lax.all_to_all(blk, axis, split_axis=1, concat_axis=2,
+                                 tiled=True)                # [L, n1/D, n2]
+        blk = local_ntt(blk, n2)                            # NTT over i2
+        if inverse:
+            blk = dev.mont_mul(blk, dev.const(n_inv, shape=(1, 1)))
+        return blk
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, None, axis), P(None, axis)),
+        out_specs=P(None, axis, None))
+
+    def run(values):
+        a = values.reshape(dev.L, n1, n2)
+        out = sharded(a, base_full)                         # [L, n1, n2] block D
+        if natural_output:
+            out = jnp.swapaxes(out, 1, 2).reshape(dev.L, n)
+        return out
+
+    return jax.jit(run)
+
+
+_MESHES = {}
+
+
+def _register_mesh(mesh: Mesh) -> int:
+    mid = id(mesh)
+    _MESHES[mid] = mesh
+    return mid
+
+
+def distributed_ntt(field: PrimeField, values: jnp.ndarray, mesh: Mesh,
+                    natural_output: bool = True) -> jnp.ndarray:
+    """Forward NTT of [L, N] over the mesh's devices."""
+    n = values.shape[-1]
+    fn = _dist_ntt_fn(field, n, mesh.devices.size, False, natural_output,
+                      _register_mesh(mesh))
+    return fn(values)
+
+
+def distributed_intt(field: PrimeField, values: jnp.ndarray, mesh: Mesh,
+                     natural_output: bool = True) -> jnp.ndarray:
+    """Inverse NTT of [L, N] over the mesh's devices."""
+    n = values.shape[-1]
+    fn = _dist_ntt_fn(field, n, mesh.devices.size, True, natural_output,
+                      _register_mesh(mesh))
+    return fn(values)

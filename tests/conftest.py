@@ -11,11 +11,21 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# XLA:CPU's new fusion emitters have pathological (exponential) compile times
+# on the deep u32 dependency chains of hash compressions and limb arithmetic;
+# the legacy emitters compile the same graphs in seconds.
+if "xla_cpu_use_fusion_emitters" not in flags:
+    flags += " --xla_cpu_use_fusion_emitters=false"
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import sys
 
-if "jax" in sys.modules:
-    import jax
+import jax
 
-    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: XLA:CPU compiles of wide-field kernels are the
+# dominant test cost; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/genstark_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
