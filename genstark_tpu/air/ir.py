@@ -297,8 +297,10 @@ class AirSchema:
             raise ValueError("transition must yield one expression per register")
         if len(self.init) != self.trace_width:
             raise ValueError("init must yield one expression per register")
-        if self.base_steps < 2 or self.base_steps & (self.base_steps - 1):
-            raise ValueError("base_steps must be a power of 2 >= 2")
+        if self.base_steps < 1 or self.base_steps & (self.base_steps - 1):
+            # cycle length 1 is legal: e.g. pointmul.aa holds each input bit
+            # for a single step (/root/reference/examples/elliptic/pointmul.aa:58-62)
+            raise ValueError("base_steps must be a power of 2 >= 1")
         for reg in self.static_registers:
             if isinstance(reg, CyclicRegister):
                 n = len(reg.values)

@@ -85,8 +85,8 @@ class _ContextBase:
         self.schema = schema
         ext = module.extension_factor
         cf = module.composition_factor
-        if trace_length & (trace_length - 1):
-            raise ValueError("trace length must be a power of 2")
+        if trace_length < 2 or trace_length & (trace_length - 1):
+            raise ValueError("trace length must be a power of 2, at least 2")
         self.trace_length = trace_length
         self.extension_factor = ext
         self.evaluation_domain_size = trace_length * ext
@@ -191,8 +191,12 @@ class ProvingContext(_ContextBase):
         """Run the AIR: returns [R, L, T] Montgomery trace on device.
 
         Equivalent of the generated `generateExecutionTrace`
-        (/root/reference/lib/Stark.ts:97).  Sequential dependency is expressed
-        as a lax.scan over steps; cycle starts re-run the init expressions.
+        (/root/reference/lib/Stark.ts:97).  The init expressions run only at
+        step 0 — per AirAssembly semantics, cycle re-initialization for
+        multi-value inputs is encoded by the transition itself via mask
+        registers (see /root/reference/assembly/lib128.aa:143-151, where the
+        leaf/node masks select between init and transition behavior).  The
+        sequential dependency is a lax.scan over steps.
         """
         if self._trace is not None:
             return self._trace
@@ -200,8 +204,6 @@ class ProvingContext(_ContextBase):
         dev = self.field.device
         T = self.trace_length
         R = schema.trace_width
-        cycle_len = schema.base_steps
-        n_cycles = T // cycle_len
 
         seed_env = [dev.const(s) for s in self.seed]
         statics = self.static_device                       # [K, L, T]
@@ -211,41 +213,28 @@ class ProvingContext(_ContextBase):
         def static_env(arr):                               # arr: [L, K]
             return [arr[:, k] for k in range(len(schema.static_registers))]
 
-        def init_state(prev_state_cols, statics_step):
-            env = {"dev": dev, "ndim": 0, "trace": prev_state_cols,
-                   "static": static_env(statics_step), "seed": seed_env}
+        def step0(statics_0):
+            env = {"dev": dev, "ndim": 0,
+                   "trace": [dev.zeros(()) for _ in range(R)],
+                   "static": static_env(statics_0), "seed": seed_env}
             cache = {}
             return jnp.stack([eval_device(e, env, cache) for e in schema.init], axis=1)
 
-        def transition_state(state, statics_step):
+        def body(state, statics_step):
             cols = [state[:, r] for r in range(R)]
             env = {"dev": dev, "ndim": 0, "trace": cols,
                    "static": static_env(statics_step)}
             cache = {}
-            return jnp.stack([eval_device(e, env, cache) for e in schema.transition],
-                             axis=1)
-
-        zeros_state = dev.zeros((R,))                      # [L, R]
-
-        def step0(_):
-            return init_state([zeros_state[:, r] for r in range(R)], statics_t[0])
-
-        state0 = jax.jit(step0)(0)
-
-        is_start = np.zeros(T, dtype=np.bool_)
-        is_start[::cycle_len] = True
-
-        def body(state, xs):
-            st_prev, st_cur, start = xs
-            nxt = transition_state(state, st_prev)
-            if n_cycles > 1:
-                ini = init_state([state[:, r] for r in range(R)], st_cur)
-                nxt = jnp.where(start, ini, nxt)
+            nxt = jnp.stack([eval_device(e, env, cache) for e in schema.transition],
+                            axis=1)
             return nxt, nxt
 
-        xs = (statics_t[:-1], statics_t[1:], jnp.asarray(is_start[1:]))
-        _, states = jax.jit(lambda s0, xs: jax.lax.scan(body, s0, xs))(state0, xs)
-        trace = jnp.concatenate([state0[None], states], axis=0)   # [T, L, R]
+        def run(statics_t):
+            state0 = step0(statics_t[0])
+            _, states = jax.lax.scan(body, state0, statics_t[:-1])
+            return jnp.concatenate([state0[None], states], axis=0)   # [T, L, R]
+
+        trace = jax.jit(run)(statics_t)
         self._trace = jnp.transpose(trace, (2, 1, 0))             # [R, L, T]
         return self._trace
 
