@@ -316,7 +316,7 @@ def _parse_static_registers(items: list, field):
         if kind == "input":
             secret = item[1] == "secret"
             steps = shift = None
-            parent = None
+            parent = peer = None
             binary = False
             rank = 1
             for attr in item[2:]:
@@ -327,17 +327,17 @@ def _parse_static_registers(items: list, field):
                         shift = _int(attr[1])
                     elif attr[0] == "childof":
                         parent = _int(attr[1])
-                        rank = 2
+                        rank = regs[parent].rank + 1
                     elif attr[0] == "peerof":
-                        peer = regs[_int(attr[1])]
-                        parent = peer.parent
-                        rank = peer.rank
+                        peer = _int(attr[1])
+                        parent = regs[peer].parent
+                        rank = regs[peer].rank
                     elif attr[0] == "binary":
                         binary = True
                 elif attr == "binary":
                     binary = True
             regs.append(InputRegister(secret=secret, rank=rank, binary=binary,
-                                      parent=parent, steps=steps,
+                                      parent=parent, peer=peer, steps=steps,
                                       shift=shift or 0))
         elif kind == "mask":
             src = _int(item[1][1])

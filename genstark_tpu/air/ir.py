@@ -126,6 +126,24 @@ def const(v: int) -> Expr: return Const(v)
 # consumed at /root/reference/lib/components/CompositionPolynomial.ts:196-225)
 # ---------------------------------------------------------------------------
 
+def count_nodes(exprs: Sequence[Expr]) -> int:
+    """Number of distinct DAG nodes across expressions (shared nodes once)."""
+    seen = set()
+
+    def walk(e: Expr):
+        if id(e) in seen:
+            return
+        seen.add(id(e))
+        for attr in ("a", "b"):
+            child = getattr(e, attr, None)
+            if isinstance(child, Expr):
+                walk(child)
+
+    for e in exprs:
+        walk(e)
+    return len(seen)
+
+
 def degree_of(expr: Expr) -> int:
     if isinstance(expr, Const) or isinstance(expr, SeedVal):
         return 0
@@ -249,16 +267,21 @@ class CyclicRegister:
 class InputRegister:
     """Input-driven register (AirAssembly `(input secret|public ...)`).
 
-    Each provided value is held for one cycle of `steps` trace steps
-    (defaults to the schema's base cycle length).  `shift` rotates the
-    expanded column by that many steps (AirAssembly `(shift -1)`).
-    `binary` requires values in {0, 1}.  `parent` (childof) links nested
-    inputs; rank > 1 inputs are flattened leaf-major.
+    Value span: a register with `steps` holds each value for that many trace
+    steps; a register with children (others declaring `parent` = its index)
+    holds each value for (child values per parent) * (child span) steps; a
+    `peer` register shares the span and shape of its peer; otherwise the span
+    is the schema's base cycle length.  `shift` rotates the expanded column
+    (AirAssembly `(shift -1)` makes the next cycle's value visible one step
+    early, which is how transitions re-init at cycle boundaries).  `binary`
+    requires values in {0, 1}.  Rank-r inputs are nested lists flattened
+    leaf-major; their iShape is the per-level dimension list.
     """
     secret: bool
     rank: int = 1
     binary: bool = False
     parent: Optional[int] = None
+    peer: Optional[int] = None
     steps: Optional[int] = None
     shift: int = 0
 

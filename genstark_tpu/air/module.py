@@ -75,6 +75,90 @@ class AirModule:
         return VerificationContext(self, input_shapes, public_inputs or [])
 
 
+def _nested_shape(values, rank: int) -> List[int]:
+    """Shape of a (uniform) nested input list; validates uniformity."""
+    if rank == 0:
+        return []
+    if not isinstance(values, (list, tuple)) or not values:
+        raise ValueError("input register requires a non-empty (nested) list")
+    if rank == 1:
+        return [len(values)]
+    sub = [_nested_shape(v, rank - 1) for v in values]
+    if any(s != sub[0] for s in sub):
+        raise ValueError("nested input lists must be uniform")
+    return [len(values)] + sub[0]
+
+
+def _flatten(values, rank: int) -> List:
+    if rank <= 1:
+        return list(values)
+    out = []
+    for v in values:
+        out.extend(_flatten(v, rank - 1))
+    return out
+
+
+def compute_input_layout(schema: AirSchema, shapes: Sequence[Sequence[int]]):
+    """Given per-input-register shapes (iShapes), derive each register's value
+    span and the trace length.  Span rules documented on InputRegister."""
+    input_regs = schema.input_registers
+    if len(shapes) != len(input_regs):
+        raise ValueError("input shape count mismatch")
+    shape_of = {k: list(shapes[slot]) for slot, k in enumerate(input_regs)}
+    children: Dict[int, List[int]] = {}
+    for k in input_regs:
+        reg = schema.static_registers[k]
+        if len(shape_of[k]) != reg.rank:
+            raise ValueError(
+                f"input register {k}: shape rank {len(shape_of[k])} != declared rank {reg.rank}")
+        if reg.parent is not None:
+            children.setdefault(reg.parent, []).append(k)
+        if reg.peer is not None and shape_of[k] != shape_of[reg.peer]:
+            raise ValueError(f"peer input registers {k} and {reg.peer} must share shape")
+
+    spans: Dict[int, int] = {}
+
+    def span(k: int) -> int:
+        if k in spans:
+            return spans[k]
+        reg = schema.static_registers[k]
+        if reg.steps is not None:
+            s = reg.steps
+        elif reg.peer is not None:
+            s = span(reg.peer)
+        elif children.get(k):
+            c0 = children[k][0]
+            for c in children[k][1:]:
+                if shape_of[c][-1] != shape_of[c0][-1]:
+                    raise ValueError("sibling child inputs must share the last dimension")
+            s = shape_of[c0][-1] * span(c0)
+        else:
+            s = schema.base_steps
+        spans[k] = s
+        return s
+
+    totals = {}
+    trace_length = schema.base_steps if not input_regs else None
+    for k in input_regs:
+        reg = schema.static_registers[k]
+        if reg.parent is not None and \
+                shape_of[k][:-1] != shape_of[reg.parent]:
+            raise ValueError(
+                f"child input {k} shape must extend parent {reg.parent} shape")
+        n = 1
+        for d in shape_of[k]:
+            n *= d
+        totals[k] = n
+        t = n * span(k)
+        if trace_length is None:
+            trace_length = t
+        elif t != trace_length:
+            raise ValueError(
+                f"inconsistent input spans: register {k} implies trace length {t}, "
+                f"others imply {trace_length}")
+    return trace_length, spans, totals
+
+
 class _ContextBase:
     """Shared domain bookkeeping for proving and verification contexts."""
 
@@ -103,18 +187,14 @@ class _ContextBase:
         return self.schema.constraint_degrees
 
     # ----- static register column helpers (host int arrays) -----------------
-    def _input_cycle_steps(self, reg: InputRegister) -> int:
-        return reg.steps or self.schema.base_steps
-
     def _cyclic_pattern(self, k: int) -> Optional[List[int]]:
-        """Periodic pattern for register k if it is cyclic-like (cycle/mask)."""
+        """Periodic pattern for register k if it is cyclic-like (cycle/mask).
+        Mask period = the source input register's value span."""
         reg = self.schema.static_registers[k]
         if isinstance(reg, CyclicRegister):
             return [v % self.field.modulus for v in reg.values]
         if isinstance(reg, MaskRegister):
-            src = self.schema.static_registers[reg.source]
-            steps = self._input_cycle_steps(src)
-            pattern = [0] * steps
+            pattern = [0] * self.input_spans[reg.source]
             pattern[0] = 1
             if reg.inverted:
                 pattern = [1 - v for v in pattern]
@@ -129,23 +209,19 @@ class ProvingContext(_ContextBase):
         if len(inputs) != len(input_regs):
             raise ValueError(
                 f"expected inputs for {len(input_regs)} input registers, got {len(inputs)}")
-        # expand inputs -> value lists + shapes; derive trace length
         self.input_values: Dict[int, List[int]] = {}
         self.input_shapes: List[List[int]] = []
-        trace_length = schema.base_steps
         for slot, k in enumerate(input_regs):
             reg: InputRegister = schema.static_registers[k]
-            if reg.rank != 1 or reg.parent is not None:
-                raise NotImplementedError("nested/ranked inputs land with the AirScript frontend")
-            values = [int(v) % schema.field.modulus for v in inputs[slot]]
-            if not values:
-                raise ValueError("input register requires at least one value")
+            shape = _nested_shape(inputs[slot], reg.rank)
+            values = [int(v) % schema.field.modulus
+                      for v in _flatten(inputs[slot], reg.rank)]
             if reg.binary and any(v not in (0, 1) for v in values):
                 raise ValueError("binary input register requires 0/1 values")
             self.input_values[k] = values
-            self.input_shapes.append([len(values)])
-            span = len(values) * (reg.steps or schema.base_steps)
-            trace_length = max(trace_length, span)
+            self.input_shapes.append(shape)
+        trace_length, self.input_spans, _ = compute_input_layout(
+            schema, self.input_shapes)
         super().__init__(module, trace_length)
         self.seed = [int(s) % self.field.modulus for s in seed]
         self._trace = None
@@ -165,8 +241,8 @@ class ProvingContext(_ContextBase):
                 cols.append(pattern * (T // len(pattern)))
             elif isinstance(reg, InputRegister):
                 values = self.input_values[k]
-                steps = self._input_cycle_steps(reg)
-                expanded = [v for v in values for _ in range(steps)]
+                span = self.input_spans[k]
+                expanded = [v for v in values for _ in range(span)]
                 if len(expanded) != T:
                     raise ValueError("input register span does not match trace length")
                 if reg.shift:
@@ -229,9 +305,16 @@ class ProvingContext(_ContextBase):
                             axis=1)
             return nxt, nxt
 
+        # unrolling amortizes per-iteration scan overhead, but the traced body
+        # size scales with the transition DAG — keep the product bounded so
+        # wide AIRs (e.g. Poseidon Merkle, ~400 field ops/step) still compile
+        from .ir import count_nodes
+        body_ops = count_nodes(schema.transition)
+        unroll = max(1, min(8, 64 // max(1, body_ops // 8)))
+
         def run(statics_t):
             state0 = step0(statics_t[0])
-            _, states = jax.lax.scan(body, state0, statics_t[:-1])
+            _, states = jax.lax.scan(body, state0, statics_t[:-1], unroll=unroll)
             return jnp.concatenate([state0[None], states], axis=0)   # [T, L, R]
 
         trace = jax.jit(run)(statics_t)
@@ -287,28 +370,21 @@ class VerificationContext(_ContextBase):
                  public_inputs: Sequence):
         schema = module.schema
         input_regs = schema.input_registers
-        if len(input_shapes) != len(input_regs):
-            raise ValueError("input shape count mismatch")
         public_regs = [k for k in input_regs
                        if not schema.static_registers[k].secret]
         if len(public_inputs) != len(public_regs):
             raise ValueError(
                 f"expected {len(public_regs)} public inputs, got {len(public_inputs)}")
-        trace_length = schema.base_steps
         self.input_shapes = [list(s) for s in input_shapes]
-        counts: Dict[int, int] = {}
-        for slot, k in enumerate(input_regs):
-            reg: InputRegister = schema.static_registers[k]
-            n = 1
-            for d in input_shapes[slot]:
-                n *= d
-            counts[k] = n
-            trace_length = max(trace_length, n * (reg.steps or schema.base_steps))
+        trace_length, self.input_spans, counts = compute_input_layout(
+            schema, self.input_shapes)
         super().__init__(module, trace_length)
         self._input_counts = counts
         self.public_input_values: Dict[int, List[int]] = {}
         for slot, k in enumerate(public_regs):
-            values = [int(v) % self.field.modulus for v in public_inputs[slot]]
+            reg: InputRegister = schema.static_registers[k]
+            values = [int(v) % self.field.modulus
+                      for v in _flatten(public_inputs[slot], reg.rank)]
             if len(values) != counts[k]:
                 raise ValueError("public input length does not match input shape")
             self.public_input_values[k] = values
@@ -338,8 +414,8 @@ class VerificationContext(_ContextBase):
             else:
                 # public input register: interpolate the full expanded column
                 values = self.public_input_values[k]
-                steps = self._input_cycle_steps(reg)
-                expanded = [v for v in values for _ in range(steps)]
+                span = self.input_spans[k]
+                expanded = [v for v in values for _ in range(span)]
                 if reg.shift:
                     s = reg.shift % T
                     expanded = expanded[s:] + expanded[:s]

@@ -20,12 +20,47 @@ but the byte format round-trips through the same codec.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import List, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..hash import Hash, digests_to_bytes
+
+
+@lru_cache(maxsize=None)
+def _tree_builder(algorithm: str, n: int):
+    """One jitted program computing ALL tree levels (concatenated leaves-first)
+    so the host pulls the finished tree in a single transfer — per-level
+    round trips dominated prover time on the tunneled TPU."""
+    h = Hash(algorithm)
+
+    def build(leaves):
+        levels = [leaves]
+        cur = leaves
+        while cur.shape[0] > 1:
+            cur = h.hash_pairs(cur)
+            levels.append(cur)
+        return jnp.concatenate(levels, axis=0)
+
+    return jax.jit(build)
+
+
+class _NpLevel:
+    """Zero-copy view of one tree level; rows surface as 32-byte digests."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr: np.ndarray):
+        self.arr = np.ascontiguousarray(arr).astype("<u4", copy=False)
+
+    def __getitem__(self, i: int) -> bytes:
+        return self.arr[i].tobytes()
+
+    def __len__(self) -> int:
+        return self.arr.shape[0]
 
 
 @dataclass
@@ -56,12 +91,16 @@ class MerkleTree:
         """leaves: uint32[N, 8] LE-word digests on device (N a power of 2)."""
         n = int(leaves.shape[0])
         assert n & (n - 1) == 0 and n >= 1, "leaf count must be a power of 2"
-        device_levels = [leaves]
-        cur = leaves
-        while cur.shape[0] > 1:
-            cur = hash_.hash_pairs(cur)
-            device_levels.append(cur)
-        levels = [digests_to_bytes(np.asarray(lv)) for lv in device_levels]
+        flat = np.asarray(_tree_builder(hash_.algorithm, n)(leaves))
+        levels = []
+        offset = 0
+        size = n
+        while size >= 1:
+            levels.append(_NpLevel(flat[offset:offset + size]))
+            offset += size
+            if size == 1:
+                break
+            size //= 2
         return cls(levels, hash_)
 
     @classmethod
