@@ -96,3 +96,32 @@ if __name__ == "__main__":
     from genstark_tpu.utils import Logger
     stats = run(steps, logger=Logger())
     print(json.dumps(stats))
+
+
+MIMC_SCRIPT = """
+define MiMC over prime field (2^128 - 9 * 2^32 + 1) {{
+    const alpha: 3;
+    static roundConstant: cycle prng(sha256, 0x4d694d43, 64);
+    secret input startValue: element[1];
+    transition 1 register {{
+        for each (startValue) {{
+            init {{ yield startValue; }}
+            for steps [1..{last}] {{ yield $r0^3 + roundConstant; }}
+        }}
+    }}
+    enforce 1 constraint {{
+        for all steps {{ enforce transition($r) = $n; }}
+    }}
+}}"""
+
+
+def make_mimc_stark_script(steps: int = 2 ** 13, options: dict = None,
+                           logger=None):
+    """The AirScript variant — the literal source of
+    /root/reference/examples/mimc/mimc128.ts:32-57."""
+    from genstark_tpu import instantiate_script
+    default_options = {"hash_algorithm": "blake2s256", "extension_factor": 16,
+                       "exe_query_count": 48, "fri_query_count": 24}
+    default_options.update(options or {})
+    src = MIMC_SCRIPT.format(last=steps - 1)
+    return instantiate_script(src, default_options, logger)

@@ -35,9 +35,11 @@ def instantiate(schema: Union[AirSchema, str, bytes], component: str = "default"
 
 
 def instantiate_script(source: Union[str, bytes], options: Optional[dict] = None,
-                       logger: Optional[Logger] = None) -> Stark:
-    """Create a Stark from AirScript source."""
+                       logger: Optional[Logger] = None,
+                       base_path: Optional[str] = None) -> Stark:
+    """Create a Stark from AirScript source.  `base_path` resolves relative
+    AirAssembly import paths (/root/reference/index.ts:35-45)."""
     from .air.script import compile_script
     text = source.decode() if isinstance(source, bytes) else source
-    schema = compile_script(text)
+    schema = compile_script(text, base_path)
     return instantiate(schema, "default", options, logger)

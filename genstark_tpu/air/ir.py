@@ -351,3 +351,37 @@ class AirSchema:
     @property
     def secret_input_count(self) -> int:
         return len(self.secret_input_registers)
+
+
+def substitute(expr: Expr, trace_map: Optional[Dict[int, Expr]] = None,
+               static_map: Optional[Dict[int, Expr]] = None,
+               cache: Optional[Dict] = None) -> Expr:
+    """Rewrite an expression DAG, replacing TraceReg/StaticReg leaves by
+    index.  Used to inline AirAssembly components into AirScript programs
+    (`with $r[a..b] yield Component(...)` —
+    /root/reference/examples/assembly/merkleProof.ts:65-66): the component's
+    trace registers map to the caller's target registers and its static
+    registers map to caller statics or argument expressions.  Unmapped leaves
+    pass through; DAG sharing is preserved via the cache."""
+    if cache is None:
+        cache = {}
+    key = id(expr)
+    if key in cache:
+        return cache[key]
+    if isinstance(expr, TraceReg) and trace_map and expr.index in trace_map:
+        r = trace_map[expr.index]
+    elif isinstance(expr, StaticReg) and static_map and expr.index in static_map:
+        r = static_map[expr.index]
+    elif isinstance(expr, (Const, TraceReg, NextReg, StaticReg, SeedVal)):
+        r = expr
+    elif isinstance(expr, (Add, Sub, Mul, Div)):
+        r = type(expr)(substitute(expr.a, trace_map, static_map, cache),
+                       substitute(expr.b, trace_map, static_map, cache))
+    elif isinstance(expr, Neg):
+        r = Neg(substitute(expr.a, trace_map, static_map, cache))
+    elif isinstance(expr, Exp):
+        r = Exp(substitute(expr.a, trace_map, static_map, cache), expr.e)
+    else:
+        raise TypeError(f"unknown expr node {type(expr)}")
+    cache[key] = r
+    return r

@@ -194,8 +194,16 @@ class _ContextBase:
         if isinstance(reg, CyclicRegister):
             return [v % self.field.modulus for v in reg.values]
         if isinstance(reg, MaskRegister):
-            pattern = [0] * self.input_spans[reg.source]
-            pattern[0] = 1
+            span = self.input_spans[reg.source]
+            src = self.schema.static_registers[reg.source]
+            pattern = [0] * span
+            # the mask is aligned with the *shifted* source column: with
+            # (shift -1) the next cycle's value becomes visible at the last
+            # step of the current cycle, and the mask fires there too — this
+            # is what lets the transition at the last step of a cycle compute
+            # the next cycle's init value (lib128.aa ComputeMerkleRoot:
+            # transition combines init/round terms via these masks).
+            pattern[src.shift % span] = 1
             if reg.inverted:
                 pattern = [1 - v for v in pattern]
             return pattern
@@ -246,7 +254,9 @@ class ProvingContext(_ContextBase):
                 if len(expanded) != T:
                     raise ValueError("input register span does not match trace length")
                 if reg.shift:
-                    s = reg.shift % T
+                    # col[t] = expanded[(t - shift) mod T]: shift -1 makes the
+                    # next cycle's value visible one step early
+                    s = (-reg.shift) % T
                     expanded = expanded[s:] + expanded[:s] if s else expanded
                 cols.append(expanded)
             else:
@@ -417,7 +427,7 @@ class VerificationContext(_ContextBase):
                 span = self.input_spans[k]
                 expanded = [v for v in values for _ in range(span)]
                 if reg.shift:
-                    s = reg.shift % T
+                    s = (-reg.shift) % T
                     expanded = expanded[s:] + expanded[:s]
                 coeffs = f.interpolate_roots(expanded)
 

@@ -89,3 +89,15 @@ def pow_log2(base: float, exponent: int) -> float:
         twos += 1
         exponent //= 2
     return (2 ** twos) * math.log2(base ** exponent)
+
+
+def inline_vector(values) -> str:
+    """Render ints as an AirScript vector literal
+    (/root/reference/lib/utils/inliners.ts `inline.vector`)."""
+    return "[" + ", ".join(str(int(v)) for v in values) + "]"
+
+
+def inline_matrix(rows) -> str:
+    """Render ints as an AirScript matrix literal
+    (/root/reference/lib/utils/inliners.ts `inline.matrix`)."""
+    return "[" + ", ".join(inline_vector(r) for r in rows) + "]"

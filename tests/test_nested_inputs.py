@@ -59,10 +59,12 @@ def _oracle(p, parent, children):
     col_parent = [parent[t // span_parent] for t in range(T)]
     flat_children = [c for group in children for c in group]
     col_child = [flat_children[t // span_child] for t in range(T)]
-    # shift -1
-    col_parent = col_parent[-1:] + col_parent[:-1]
-    col_child = col_child[-1:] + col_child[:-1]
-    mask_child = [1 if t % span_child == 0 else 0 for t in range(T)]
+    # shift -1: col[t] = expanded[t+1] — next value visible one step early
+    col_parent = col_parent[1:] + col_parent[:1]
+    col_child = col_child[1:] + col_child[:1]
+    # the mask aligns with the shifted column: it fires at the last step of
+    # each span, where the transition computes the next cycle's init value
+    mask_child = [1 if t % span_child == span_child - 1 else 0 for t in range(T)]
     state = (col_parent[0] + col_child[0]) % p
     rows = [state]
     for t in range(T - 1):
