@@ -252,6 +252,66 @@ def eval_device(expr: Expr, env: Dict, cache: Optional[Dict] = None):
     return r
 
 
+def compile_host_fn(exprs: Sequence[Expr], p: int) -> Callable:
+    """Code-generate a host evaluator `fn(trace, static, seed, next) -> list`
+    over python ints mod p.
+
+    This is the analogue of air-assembly's generated-JS trace/constraint
+    functions (consumed at /root/reference/lib/Stark.ts:97): sequential
+    per-step trace generation is scalar work that belongs on the host CPU —
+    a TPU earns its keep on the batched domain-wide stages, not on an
+    inherently serial recurrence over tiny state.  DAG-shared nodes are
+    emitted once (common-subexpression order preserved)."""
+    lines: List[str] = []
+    names: Dict[int, str] = {}
+    counter = [0]
+
+    def emit(expr: Expr) -> str:
+        key = id(expr)
+        if key in names:
+            return names[key]
+        if isinstance(expr, Const):
+            name = str(expr.value % p)
+        elif isinstance(expr, TraceReg):
+            name = f"trace[{expr.index}]"
+        elif isinstance(expr, NextReg):
+            name = f"next[{expr.index}]"
+        elif isinstance(expr, StaticReg):
+            name = f"static[{expr.index}]"
+        elif isinstance(expr, SeedVal):
+            name = f"seed[{expr.index}]"
+        else:
+            a = emit(expr.a) if hasattr(expr, "a") else None
+            b = emit(expr.b) if hasattr(expr, "b") else None
+            name = f"v{counter[0]}"
+            counter[0] += 1
+            if isinstance(expr, Add):
+                lines.append(f"{name} = ({a} + {b}) % {p}")
+            elif isinstance(expr, Sub):
+                lines.append(f"{name} = ({a} - {b}) % {p}")
+            elif isinstance(expr, Mul):
+                lines.append(f"{name} = {a} * {b} % {p}")
+            elif isinstance(expr, Div):
+                lines.append(f"{name} = {a} * pow({b}, {p - 2}, {p}) % {p}")
+            elif isinstance(expr, Neg):
+                lines.append(f"{name} = (-{a}) % {p}")
+            elif isinstance(expr, Exp):
+                lines.append(f"{name} = pow({a}, {expr.e}, {p})")
+            else:
+                raise TypeError(f"unknown expr node {type(expr)}")
+        names[key] = name
+        return name
+
+    outs = [emit(e) for e in exprs]
+    src = "def _fn(trace, static, seed=None, next=None):\n"
+    for line in lines:
+        src += f"    {line}\n"
+    src += f"    return [{', '.join(outs)}]\n"
+    ns: Dict = {}
+    exec(src, ns)          # noqa: S102 — source is generated from the AIR DAG only
+    return ns["_fn"]
+
+
 # ---------------------------------------------------------------------------
 # Static register descriptors
 # ---------------------------------------------------------------------------

@@ -281,11 +281,41 @@ class ProvingContext(_ContextBase):
         step 0 — per AirAssembly semantics, cycle re-initialization for
         multi-value inputs is encoded by the transition itself via mask
         registers (see /root/reference/assembly/lib128.aa:143-151, where the
-        leaf/node masks select between init and transition behavior).  The
-        sequential dependency is a lax.scan over steps.
+        leaf/node masks select between init and transition behavior).
+
+        The recurrence is inherently serial over tiny per-step state, so it
+        runs as code-generated host arithmetic (the reference's generated-JS
+        equivalent) and the finished trace ships to the device in one
+        transfer; all batched domain-wide stages stay on the TPU.  A device
+        lax.scan variant is kept for cases where the trace must be produced
+        on-device (see _generate_execution_trace_device).
         """
         if self._trace is not None:
             return self._trace
+        from .ir import compile_host_fn
+        schema = self.schema
+        p = self.field.modulus
+        T = self.trace_length
+        R = schema.trace_width
+        init_fn = compile_host_fn(schema.init, p)
+        step_fn = compile_host_fn(schema.transition, p)
+        cols = self.static_columns                          # [K][T] ints
+        K = len(cols)
+        statics = [[cols[k][t] for k in range(K)] for t in range(T)] if K \
+            else [[]] * T
+        state = init_fn([0] * R, statics[0], self.seed)
+        rows = [state]
+        for t in range(T - 1):
+            state = step_fn(state, statics[t])
+            rows.append(state)
+        dev = self.field.device
+        flat = [rows[t][r] for r in range(R) for t in range(T)]
+        self._trace = dev.from_ints(flat).reshape(dev.L, R, T).transpose(1, 0, 2)
+        return self._trace
+
+    def _generate_execution_trace_device(self) -> jnp.ndarray:
+        """Device lax.scan trace generation (used when the trace should be
+        produced on-device, e.g. sharded/batched scenarios)."""
         schema = self.schema
         dev = self.field.device
         T = self.trace_length

@@ -47,8 +47,7 @@ class DeviceField:
         self.mul = jax.jit(self.mont_mul)
         self.sqr = jax.jit(self._sqr)
         self.exp_static = jax.jit(self._exp_static, static_argnums=1)
-        self._inv_products = jax.jit(self._inv_products_impl)
-        self._inv_finish = jax.jit(self._inv_finish_impl)
+        self._inv_jit = jax.jit(self._inv_impl)
         self.to_mont = jax.jit(self._to_mont)
         self.from_mont = jax.jit(self._from_mont)
         self.power_series = jax.jit(self._power_series, static_argnums=(0, 1))
@@ -251,23 +250,38 @@ class DeviceField:
         out = self.mont_mul(self.mont_mul(pre_excl, suf_excl), total_inv)
         return jnp.where(is_zero[None, :], jnp.zeros_like(out), out)
 
+    def _fermat_inv_single(self, t: jnp.ndarray) -> jnp.ndarray:
+        """t^(p-2) for a single element [L, 1] (Montgomery) — square-and-
+        multiply as a fori_loop over the fixed exponent bits (a loop, not an
+        unroll: ~250 inlined mont_muls make XLA compiles pathologically slow).
+        Cheap at runtime because it runs on one element; used only for the
+        total product in `inv`."""
+        e = self.p - 2
+        bits = bin(e)[2:]
+        bit_arr = jnp.asarray([int(b) for b in bits], dtype=jnp.bool_)
+
+        def body(i, result):
+            sq = self.mont_mul(result, result)
+            return jnp.where(bit_arr[i], self.mont_mul(sq, t), sq)
+
+        return jax.lax.fori_loop(1, len(bits), body, t)
+
+    def _inv_impl(self, flat: jnp.ndarray) -> jnp.ndarray:
+        is_zero, prefix, suffix = self._inv_products_impl(flat)
+        total_inv = self._fermat_inv_single(prefix[:, -1:])
+        return self._inv_finish_impl(is_zero, prefix, suffix, total_inv)
+
     def inv(self, a: jnp.ndarray) -> jnp.ndarray:
         """Elementwise inverse with inv(0) = 0 (galois WASM convention, relied
         on for Z(x) inverses at excluded trace positions —
         /root/reference/lib/components/CompositionPolynomial.ts:117).
 
-        Batched Montgomery trick: two log-doubling product scans on device,
-        one scalar inversion on host, two muls to finish — ~3 mont_muls per
-        element instead of a ~2*bits Fermat ladder (which also compiles
-        pathologically slowly as an XLA scan).
+        Batched Montgomery trick, fully on device (jit-safe, no host sync):
+        two log-doubling product scans, one single-element Fermat ladder for
+        the total, two muls to finish — ~3 mont_muls per element.
         """
         shape = a.shape
-        flat = a.reshape(self.L, -1)
-        is_zero, prefix, suffix = self._inv_products(flat)
-        total_int = self.to_ints(prefix[:, -1:])[0]
-        total_inv = pow(total_int, self.p - 2, self.p) if total_int else 0
-        out = self._inv_finish(is_zero, prefix, suffix,
-                               self.const(total_inv, shape=(1,)))
+        out = self._inv_jit(a.reshape(self.L, -1))
         return out.reshape(shape)
 
     def _power_series(self, seed_int: int, length: int) -> jnp.ndarray:

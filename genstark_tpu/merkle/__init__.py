@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from functools import lru_cache
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -32,9 +32,10 @@ from ..hash import Hash, digests_to_bytes
 
 @lru_cache(maxsize=None)
 def _tree_builder(algorithm: str, n: int):
-    """One jitted program computing ALL tree levels (concatenated leaves-first)
-    so the host pulls the finished tree in a single transfer — per-level
-    round trips dominated prover time on the tunneled TPU."""
+    """One jitted program computing ALL tree levels (concatenated leaves-first).
+    The result STAYS on device; the host pulls only the 32-byte root eagerly
+    and gathers proof nodes on demand (tunnel-TPU transfers are the prover's
+    dominant cost, so full-tree pulls are never done)."""
     h = Hash(algorithm)
 
     def build(leaves):
@@ -48,19 +49,9 @@ def _tree_builder(algorithm: str, n: int):
     return jax.jit(build)
 
 
-class _NpLevel:
-    """Zero-copy view of one tree level; rows surface as 32-byte digests."""
-
-    __slots__ = ("arr",)
-
-    def __init__(self, arr: np.ndarray):
-        self.arr = np.ascontiguousarray(arr).astype("<u4", copy=False)
-
-    def __getitem__(self, i: int) -> bytes:
-        return self.arr[i].tobytes()
-
-    def __len__(self) -> int:
-        return self.arr.shape[0]
+@jax.jit
+def _gather_rows(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(flat, idx, axis=0)
 
 
 @dataclass
@@ -73,35 +64,33 @@ class BatchMerkleProof:
 
 
 class MerkleTree:
-    def __init__(self, levels: List[List[bytes]], hash_: Hash):
-        self._levels = levels            # levels[0] = leaves ... levels[depth] = [root]
+    def __init__(self, hash_: Hash, depth: int, levels: Optional[List] = None,
+                 flat_dev: Optional[jnp.ndarray] = None, root: Optional[bytes] = None):
         self.hash = hash_
-        self.depth = len(levels) - 1
+        self.depth = depth
+        self._levels = levels            # host mode: levels[0]=leaves ... [root]
+        self._flat = flat_dev            # device mode: concatenated levels
+        self._root = root
 
     @property
     def root(self) -> bytes:
-        return self._levels[-1][0]
+        if self._root is None:
+            self._root = self._levels[-1][0]
+        return self._root
 
     @property
     def leaf_count(self) -> int:
-        return len(self._levels[0])
+        return 1 << self.depth
 
     @classmethod
     def create(cls, leaves: jnp.ndarray, hash_: Hash) -> "MerkleTree":
-        """leaves: uint32[N, 8] LE-word digests on device (N a power of 2)."""
+        """leaves: uint32[N, 8] LE-word digests on device (N a power of 2).
+        The tree stays device-resident; only the root is transferred."""
         n = int(leaves.shape[0])
         assert n & (n - 1) == 0 and n >= 1, "leaf count must be a power of 2"
-        flat = np.asarray(_tree_builder(hash_.algorithm, n)(leaves))
-        levels = []
-        offset = 0
-        size = n
-        while size >= 1:
-            levels.append(_NpLevel(flat[offset:offset + size]))
-            offset += size
-            if size == 1:
-                break
-            size //= 2
-        return cls(levels, hash_)
+        flat = _tree_builder(hash_.algorithm, n)(leaves)
+        root = np.asarray(flat[-1]).astype("<u4").tobytes()
+        return cls(hash_, n.bit_length() - 1, flat_dev=flat, root=root)
 
     @classmethod
     def create_from_bytes(cls, leaves: Sequence[bytes], hash_: Hash) -> "MerkleTree":
@@ -113,7 +102,27 @@ class MerkleTree:
         while len(cur) > 1:
             cur = [hash_.digest(cur[2 * i] + cur[2 * i + 1]) for i in range(len(cur) // 2)]
             levels.append(cur)
-        return cls(levels, hash_)
+        return cls(hash_, n.bit_length() - 1, levels=levels)
+
+    def _fetch_nodes(self, coords: Sequence[tuple]) -> List[bytes]:
+        """Digests at [(level, idx), ...] — one device gather in device mode."""
+        if not coords:
+            return []
+        if self._flat is not None:
+            n = self.leaf_count
+            # level k starts at offset 2n - n/2^(k-1)  (leaves-first layout)
+            offsets = []
+            for level, idx in coords:
+                base = 0
+                size = n
+                for _ in range(level):
+                    base += size
+                    size //= 2
+                offsets.append(base + idx)
+            rows = np.asarray(_gather_rows(
+                self._flat, jnp.asarray(offsets, dtype=jnp.int32))).astype("<u4")
+            return [rows[i].tobytes() for i in range(rows.shape[0])]
+        return [self._levels[level][idx] for level, idx in coords]
 
     def prove_batch(self, positions: Sequence[int]) -> BatchMerkleProof:
         """Batched authentication paths, level-synchronized ("octopus").
@@ -124,28 +133,32 @@ class MerkleTree:
         it from below.  Every emitted value feeds the upward hash toward the
         single root comparison, so the proof is minimal and every byte is
         load-bearing.  `verify_batch` replays the identical schedule.
+
+        The schedule is pure index bookkeeping; all digests are fetched in
+        two batched device gathers (leaves + sibling nodes).
         """
         assert len(set(positions)) == len(positions), "positions must be unique"
-        values = [self._levels[0][p] for p in positions]
-        columns: List[List[bytes]] = [[] for _ in positions]
-        level_vals = {p: self._levels[0][p] for p in positions}
+        emissions: List[tuple] = []      # (ci, level, sibling_idx)
+        available = set(positions)
         for level in range(self.depth):
             done = set()
-            parents = {}
+            parents = set()
             for ci, p in enumerate(positions):
                 idx = p >> level
                 if idx in done or (idx ^ 1) in done:
                     continue
                 done.add(idx)
                 sib = idx ^ 1
-                if sib not in level_vals:
-                    sib_val = self._levels[level][sib]
-                    columns[ci].append(sib_val)
-                    level_vals[sib] = sib_val
-                a, b = level_vals[idx], level_vals[sib]
-                left, right = (a, b) if idx % 2 == 0 else (b, a)
-                parents[idx >> 1] = self.hash.digest(left + right)
-            level_vals = parents
+                if sib not in available:
+                    emissions.append((ci, level, sib))
+                parents.add(idx >> 1)
+            available = parents
+        fetched = self._fetch_nodes([(0, p) for p in positions]
+                                    + [(lvl, sib) for _, lvl, sib in emissions])
+        values = fetched[:len(positions)]
+        columns: List[List[bytes]] = [[] for _ in positions]
+        for (ci, _, _), val in zip(emissions, fetched[len(positions):]):
+            columns[ci].append(val)
         return BatchMerkleProof(values=values, nodes=columns, depth=self.depth)
 
     @staticmethod

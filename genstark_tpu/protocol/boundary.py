@@ -36,7 +36,8 @@ class BoundaryConstraints:
         self.polys = {}
         for register, data in r_data.items():
             i_poly = f.interpolate(data["xs"], data["ys"])
-            self.polys[register] = {"i_poly": i_poly, "z_poly": data["z_poly"]}
+            self.polys[register] = {"i_poly": i_poly, "z_poly": data["z_poly"],
+                                    "xs": data["xs"]}
 
     @property
     def count(self) -> int:
@@ -52,19 +53,59 @@ class BoundaryConstraints:
             out.append(f.div(f.sub(p, i), z))
         return out
 
-    def evaluate_all(self, p_evaluations: jnp.ndarray, domain_size: int) -> List[jnp.ndarray]:
-        """p_evaluations: [R, L, Ne] Montgomery.  Returns a list of [L, Ne]
-        B(x) vectors in register insertion order.  Z inverses use the batched
-        inverse (inv(0)=0 at assertion points — excluded from queries)."""
-        dev = self.field.device
+    def evaluate_all(self, p_polys: jnp.ndarray, domain_size: int) -> List[jnp.ndarray]:
+        """p_polys: [R, L, T] trace polynomials in coefficient form
+        (Montgomery).  Returns a list of [L, Ne] B(x) vectors in register
+        insertion order.
+
+        TPU-native derivation: B = (P - I) / Z is computed as an *exact*
+        polynomial quotient (synthetic division by each linear factor of Z,
+        vectorized as suffix-scans) and then LDE'd once — instead of the
+        reference's pointwise division with a full-domain batch inversion
+        (BoundaryConstraints.ts:71-95).  Pointwise, both agree at every
+        non-trace domain position (all positions the protocol ever samples);
+        committing the exact quotient keeps L(x) genuinely low-degree.
+        """
         field = self.field
+        f = field.host
+        dev = field.device
         out = []
         for register, c in self.polys.items():
-            i_coeffs = dev.from_ints([v % field.modulus for v in c["i_poly"]])
-            z_coeffs = dev.from_ints([v % field.modulus for v in c["z_poly"]])
-            i_vals = ntt.low_degree_extend(field, i_coeffs, domain_size)
-            z_vals = ntt.low_degree_extend(field, z_coeffs, domain_size)
-            z_inv = dev.inv(z_vals)
-            p_minus_i = dev.sub(p_evaluations[register], i_vals)
-            out.append(dev.mul(p_minus_i, z_inv))
+            coeffs = p_polys[register]                         # [L, T]
+            T = coeffs.shape[-1]
+            i_ints = [v % field.modulus for v in c["i_poly"]]
+            i_dev = dev.from_ints(i_ints + [0] * (T - len(i_ints)))
+            n_coeffs = dev.sub(coeffs, i_dev)
+            for root in c["xs"]:
+                n_coeffs = _synthetic_divide(field, n_coeffs, root)
+            out.append(ntt.low_degree_extend(field, n_coeffs, domain_size))
         return out
+
+
+def _synthetic_divide(field, a: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Exact division of polynomial a (coeff form, [L, T] Montgomery) by the
+    linear factor (x - c), keeping the [L, T] shape (quotient degree is one
+    lower, so the top coefficient comes out zero).
+
+    Closed form b_k = sum_{j>k} a_j c^(j-k-1), computed as
+    b_k = cinv^(k+1) * suffix_sum_{j>k}(a_j c^j) — log2(T) vector adds plus
+    two power-series multiplies, instead of a sequential Horner recurrence
+    (which would serialize on TPU).
+    """
+    f = field.host
+    dev = field.device
+    T = a.shape[-1]
+    powers_c = dev.power_series(c, T)                          # [L, T]
+    powers_cinv = dev.power_series(f.inv(c), T)
+    u = dev.mul(a, powers_c)                                   # u_j = a_j c^j
+    # inclusive suffix sums via log-doubling, then shift to exclusive
+    s = u
+    k = 1
+    while k < T:
+        shifted = jnp.pad(s[:, k:], [(0, 0), (0, k)])
+        s = dev.add(s, shifted)
+        k *= 2
+    s_excl = jnp.pad(s[:, 1:], [(0, 0), (0, 1)])               # S_k = sum_{j>k}
+    b = dev.mul(dev.mul(s_excl, powers_cinv),
+                dev.const(f.inv(c), shape=(1,)))
+    return b

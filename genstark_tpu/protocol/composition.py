@@ -100,14 +100,13 @@ class CompositionPolynomial:
         self.log("Performed low degree extensions of Q(x) polynomial")
 
         domain = dev.power_series(context.root_of_unity, Ne)
-        numerators, denominators = self.z_poly.evaluate_all(domain)
         self.log("Computed Z(x) polynomial")
-        z_inverses = dev.mul(denominators, dev.inv(numerators))
+        z_inverses = self.z_poly.evaluate_all_inverse(domain)
         self.log("Computed Z(x) inverses")
         d_evals = dev.mul(qe, z_inverses)
         self.log("Computed D(x) polynomial")
 
-        b_vectors = self.b_poly.evaluate_all(p_evaluations, Ne)
+        b_vectors = self.b_poly.evaluate_all(p_polys, Ne)
         self.log("Computed boundary constraint polynomials B(x)")
 
         ba = list(b_vectors)

@@ -38,6 +38,11 @@ from .queries import QueryIndexGenerator
 MAX_REMAINDER_LENGTH = 256
 
 
+@jax.jit
+def _gather_cols(v: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(v, idx, axis=1)
+
+
 class StarkError(Exception):
     pass
 
@@ -68,7 +73,6 @@ class LowDegreeProver:
         dev = field.device
         Ne = l_evaluations.shape[-1]
         v_std = dev.from_mont(l_evaluations)
-        v_np = np.asarray(v_std)
         row_hashes = self.hash.digest_stride_rows(v_std, field.element_size)
         p_tree = MerkleTree.create(row_hashes, self.hash)
         self.log("Built liner combination merkle tree")
@@ -76,21 +80,21 @@ class LowDegreeProver:
         exe_positions = self.idx_generator.get_exe_indexes(p_tree.root, Ne)
         lc_positions = get_augmented_positions(exe_positions, Ne)
         lc_proof = p_tree.prove_batch(lc_positions)
-        lc_proof.values = [self._row_bytes(v_np, r, Ne // 4) for r in lc_positions]
+        lc_proof.values = self._rows_bytes(v_std, lc_positions, Ne // 4)
         self.log(f"Computed {len(lc_positions)} linear combination spot checks")
 
         proof = LowDegreeProof(lc_root=p_tree.root, lc_proof=lc_proof,
                                components=[], remainder=[])
-        self._fri(p_tree, l_evaluations, v_np, max_degree_plus1, 0, proof)
+        self._fri(p_tree, l_evaluations, v_std, max_degree_plus1, 0, proof)
         return proof
 
-    def _fri(self, p_tree: MerkleTree, values: jnp.ndarray, v_np: np.ndarray,
+    def _fri(self, p_tree: MerkleTree, values: jnp.ndarray, v_std: jnp.ndarray,
              max_degree_plus1: int, depth: int, proof: LowDegreeProof) -> None:
         field = self.field
         f = field.host
         N = values.shape[-1]
         if N <= MAX_REMAINDER_LENGTH:
-            remainder = limbs_to_ints(v_np)
+            remainder = limbs_to_ints(np.asarray(v_std))
             root_of_unity = f.exp(self.context.root_of_unity, 4 ** depth)
             self.verify_remainder(remainder, max_degree_plus1, root_of_unity)
             proof.remainder = remainder
@@ -100,22 +104,20 @@ class LowDegreeProver:
         special_x = field.prng(p_tree.root)
         column = self._fold(values, depth, special_x)                 # [L, N/4]
         c_std = field.device.from_mont(column)
-        c_np = np.asarray(c_std)
         row_hashes = self.hash.digest_stride_rows(c_std, field.element_size)
         c_tree = MerkleTree.create(row_hashes, self.hash)
         self.log(f"Computed FRI layer at depth {depth}")
 
-        self._fri(c_tree, column, c_np, max_degree_plus1 // 4, depth + 1, proof)
+        self._fri(c_tree, column, c_std, max_degree_plus1 // 4, depth + 1, proof)
 
         column_length = N // 4
         positions = self.idx_generator.get_fri_indexes(c_tree.root, column_length)
         augmented = get_augmented_positions(positions, column_length)
 
         column_proof = c_tree.prove_batch(augmented)
-        column_proof.values = [self._row_bytes(c_np, r, column_length // 4)
-                               for r in augmented]
+        column_proof.values = self._rows_bytes(c_std, augmented, column_length // 4)
         poly_proof = p_tree.prove_batch(positions)
-        poly_proof.values = [self._row_bytes(v_np, r, N // 4) for r in positions]
+        poly_proof.values = self._rows_bytes(v_std, positions, N // 4)
 
         proof.components.insert(0, FriComponent(column_root=c_tree.root,
                                                 column_proof=column_proof,
@@ -135,15 +137,21 @@ class LowDegreeProver:
         return _fold_jit(self.field, self.context.root_of_unity,
                          self.context.evaluation_domain_size, depth)(values, c_s, c_s2)
 
-    def _row_bytes(self, v_np: np.ndarray, r: int, row_count: int) -> bytes:
-        """Bytes of stride row r: elements r, r+M, r+2M, r+3M (little-endian),
-        matching galois Matrix.rowsToBuffers on transposeVector output."""
+    def _rows_bytes(self, v_std: jnp.ndarray, rows: List[int],
+                    row_count: int) -> List[bytes]:
+        """Bytes of stride rows r: elements r, r+M, r+2M, r+3M (little-endian),
+        matching galois Matrix.rowsToBuffers on transposeVector output.
+        One device gather for all requested rows (no full-column transfer)."""
         elem = self.field.element_size
-        out = bytearray()
-        for j in range(4):
-            col = v_np[:, r + j * row_count]
-            out += limbs_to_ints(col.reshape(-1, 1))[0].to_bytes(elem, "little")
-        return bytes(out)
+        idx = jnp.asarray([r + j * row_count for r in rows for j in range(4)],
+                          dtype=jnp.int32)
+        cols = np.asarray(_gather_cols(v_std, idx))          # [L, 4*len(rows)]
+        ints = limbs_to_ints(cols)
+        out = []
+        for i in range(len(rows)):
+            out.append(b"".join(v.to_bytes(elem, "little")
+                                for v in ints[4 * i:4 * i + 4]))
+        return out
 
     # ---------------------------------------------------------------- verify
     def verify(self, proof: LowDegreeProof, lc_values: List[int],

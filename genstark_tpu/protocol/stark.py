@@ -259,14 +259,19 @@ class Stark:
     def _merge_values(self, vectors_std: List[jnp.ndarray],
                       positions: List[int]) -> List[bytes]:
         """Leaf bytes at positions: concat of each vector's element
-        (/root/reference/lib/Stark.ts:284-296)."""
+        (/root/reference/lib/Stark.ts:284-296).  One device gather over all
+        vectors and positions — no full-domain transfers."""
         elem = self.air.field.element_size
-        nps = [np.asarray(v) for v in vectors_std]
+        from .fri import _gather_cols
+        idx = jnp.asarray(positions, dtype=jnp.int32)
+        picked = np.asarray(_gather_cols(jnp.concatenate(vectors_std, axis=0), idx))
+        V = len(vectors_std)
+        L = vectors_std[0].shape[0]
         out = []
-        for position in positions:
+        for i, _ in enumerate(positions):
             buf = bytearray()
-            for v in nps:
-                val = limbs_to_ints(v[:, position:position + 1])[0]
+            for v in range(V):
+                val = limbs_to_ints(picked[v * L:(v + 1) * L, i:i + 1])[0]
                 buf += val.to_bytes(elem, "little")
             out.append(bytes(buf))
         return out

@@ -46,3 +46,26 @@ class ZeroPolynomial:
         numerators = dev.sub(x_to_T, dev.one((1,)))
         denominators = dev.sub(domain, dev.const(self.x_at_last_step, shape=(1,)))
         return numerators, denominators
+
+    def evaluate_all_inverse(self, domain: jnp.ndarray) -> jnp.ndarray:
+        """1/Z(x) over the evaluation domain (with 1/0 := 0 at trace
+        positions, the galois convention — see DeviceField.inv).
+
+        Since x^T is ext-periodic over the domain, the numerator x^T - 1
+        takes only `ext` distinct values: invert those few and tile, instead
+        of a full-domain batch inversion (the reference inverts all Ne values,
+        CompositionPolynomial.ts:117 — the periodicity is the TPU-side win).
+        """
+        ctx = self.context
+        f = self.field.host
+        dev = self.field.device
+        Ne = ctx.evaluation_domain_size
+        ext = ctx.extension_factor
+        w_t = self.field.exp(ctx.root_of_unity, self.trace_length)
+        # host-side tiny inversion: ext standard-form ints
+        base = [f.sub(f.exp(w_t, j), 1) for j in range(ext)]
+        inv_base = [f.inv(v) if v else 0 for v in base]
+        inv_series = dev.from_ints(inv_base)                  # [L, ext]
+        inv_numerators = jnp.tile(inv_series, (1, Ne // ext))  # [L, Ne]
+        denominators = dev.sub(domain, dev.const(self.x_at_last_step, shape=(1,)))
+        return dev.mul(denominators, inv_numerators)
