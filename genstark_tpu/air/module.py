@@ -292,6 +292,34 @@ class ProvingContext(_ContextBase):
         """
         if self._trace is not None:
             return self._trace
+        trace = self._generate_trace_native()
+        if trace is None:
+            trace = self._generate_trace_pyhost()
+        self._trace = trace
+        return self._trace
+
+    def _generate_trace_native(self) -> Optional[jnp.ndarray]:
+        """Code-generated C++ recurrence (genstark_tpu.native); None on any
+        toolchain/codegen failure so the Python interpreter takes over."""
+        schema = self.schema
+        try:
+            from ..native import native_trace_fn
+            run = native_trace_fn(schema.init, schema.transition,
+                                  self.field.modulus, len(self.seed),
+                                  len(schema.static_registers))
+            out = run(self.static_columns, self.seed, self.trace_length)
+        except Exception:
+            return None
+        dev = self.field.device
+        # u64 limbs -> 16-bit limbs: LE view, truncate to the device limb count
+        u16 = out.view(np.uint16)[..., :dev.L]              # [T, R, L]
+        flat = np.ascontiguousarray(
+            u16.transpose(2, 1, 0).reshape(dev.L, -1)).astype(np.uint32)
+        mont = dev.to_mont(jnp.asarray(flat))               # [L, R*T]
+        R, T = out.shape[1], out.shape[0]
+        return mont.reshape(dev.L, R, T).transpose(1, 0, 2)
+
+    def _generate_trace_pyhost(self) -> jnp.ndarray:
         from .ir import compile_host_fn
         schema = self.schema
         p = self.field.modulus
@@ -310,8 +338,7 @@ class ProvingContext(_ContextBase):
             rows.append(state)
         dev = self.field.device
         flat = [rows[t][r] for r in range(R) for t in range(T)]
-        self._trace = dev.from_ints(flat).reshape(dev.L, R, T).transpose(1, 0, 2)
-        return self._trace
+        return dev.from_ints(flat).reshape(dev.L, R, T).transpose(1, 0, 2)
 
     def _generate_execution_trace_device(self) -> jnp.ndarray:
         """Device lax.scan trace generation (used when the trace should be
