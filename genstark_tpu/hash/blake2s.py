@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,13 +40,28 @@ def _rotr(x, n):
 
 
 def _compress(h, m, t, last):
-    """h: [..., 8]; m: list of 16 [...] words; t: byte counter (int); last: bool."""
-    v = [h[..., i] for i in range(8)] + [jnp.broadcast_to(jnp.uint32(_IV[i]), h.shape[:-1])
-                                         for i in range(8)]
-    v[12] = v[12] ^ jnp.uint32(t & 0xFFFFFFFF)
-    v[13] = v[13] ^ jnp.uint32((t >> 32) & 0xFFFFFFFF)
+    """h: [..., 8]; m: [..., 16] message words; t: byte counter (int);
+    last: bool.
+
+    The 10 rounds run as a `fori_loop` with the per-round message
+    permutation done as a gather from the sigma table — executable size is
+    the dominant one-time cost on the tunnelled-TPU backend, and this body
+    is inlined into every Merkle level loop (see merkle._tree_builder).
+    """
+    batch = h.shape[:-1]
+    iv = jnp.broadcast_to(jnp.asarray(_IV), batch + (8,))
+    v = jnp.concatenate([h, iv], axis=-1)                        # [..., 16]
+    v = v.at[..., 12].set(v[..., 12] ^ jnp.uint32(t & 0xFFFFFFFF))
+    v = v.at[..., 13].set(v[..., 13] ^ jnp.uint32((t >> 32) & 0xFFFFFFFF))
     if last:
-        v[14] = v[14] ^ jnp.uint32(0xFFFFFFFF)
+        v = v.at[..., 14].set(v[..., 14] ^ jnp.uint32(0xFFFFFFFF))
+
+    sigma = jnp.asarray(np.array(_SIGMA, dtype=np.int32))        # [10, 16]
+    # static G wiring: column step then diagonal step
+    A = np.array([0, 1, 2, 3, 0, 1, 2, 3])
+    B = np.array([4, 5, 6, 7, 5, 6, 7, 4])
+    C = np.array([8, 9, 10, 11, 10, 11, 8, 9])
+    D = np.array([12, 13, 14, 15, 15, 12, 13, 14])
 
     def G(a, b, c, d, x, y):
         a = a + b + x
@@ -58,19 +74,28 @@ def _compress(h, m, t, last):
         b = _rotr(b ^ c, 7)
         return a, b, c, d
 
-    for r in range(10):
-        s = _SIGMA[r]
-        v[0], v[4], v[8], v[12] = G(v[0], v[4], v[8], v[12], m[s[0]], m[s[1]])
-        v[1], v[5], v[9], v[13] = G(v[1], v[5], v[9], v[13], m[s[2]], m[s[3]])
-        v[2], v[6], v[10], v[14] = G(v[2], v[6], v[10], v[14], m[s[4]], m[s[5]])
-        v[3], v[7], v[11], v[15] = G(v[3], v[7], v[11], v[15], m[s[6]], m[s[7]])
-        v[0], v[5], v[10], v[15] = G(v[0], v[5], v[10], v[15], m[s[8]], m[s[9]])
-        v[1], v[6], v[11], v[12] = G(v[1], v[6], v[11], v[12], m[s[10]], m[s[11]])
-        v[2], v[7], v[8], v[13] = G(v[2], v[7], v[8], v[13], m[s[12]], m[s[13]])
-        v[3], v[4], v[9], v[14] = G(v[3], v[4], v[9], v[14], m[s[14]], m[s[15]])
+    def round_body(r, v):
+        ms = jnp.take(m, sigma[r], axis=-1)                      # [..., 16]
+        # column mixing (4 independent Gs), then diagonal mixing (4 more)
+        for half in range(2):
+            ia, ib, ic, id_ = A[4 * half:], B[4 * half:], C[4 * half:], D[4 * half:]
+            ia, ib, ic, id_ = ia[:4], ib[:4], ic[:4], id_[:4]
+            a, b, c, d = (jnp.take(v, jnp.asarray(ia), axis=-1),
+                          jnp.take(v, jnp.asarray(ib), axis=-1),
+                          jnp.take(v, jnp.asarray(ic), axis=-1),
+                          jnp.take(v, jnp.asarray(id_), axis=-1))
+            x = ms[..., 8 * half + 0::2][..., :4]
+            y = ms[..., 8 * half + 1::2][..., :4]
+            a, b, c, d = G(a, b, c, d, x, y)
+            for k in range(4):
+                v = v.at[..., int(ia[k])].set(a[..., k])
+                v = v.at[..., int(ib[k])].set(b[..., k])
+                v = v.at[..., int(ic[k])].set(c[..., k])
+                v = v.at[..., int(id_[k])].set(d[..., k])
+        return v
 
-    out = [h[..., i] ^ v[i] ^ v[i + 8] for i in range(8)]
-    return jnp.stack(out, axis=-1)
+    v = jax.lax.fori_loop(0, 10, round_body, v)
+    return h ^ v[..., :8] ^ v[..., 8:]
 
 
 def digest_rows_le(words_le: jnp.ndarray, msg_bytes: int) -> jnp.ndarray:
@@ -96,8 +121,7 @@ def digest_rows_le(words_le: jnp.ndarray, msg_bytes: int) -> jnp.ndarray:
     for blk in range(n_blocks):
         last = blk == n_blocks - 1
         t = msg_bytes if last else (blk + 1) * 64
-        m = [msg[:, blk * 16 + i] for i in range(16)]
-        h = _compress(h, m, t, last)
+        h = _compress(h, msg[:, blk * 16:(blk + 1) * 16], t, last)
     return h
 
 

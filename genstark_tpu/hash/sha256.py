@@ -15,7 +15,6 @@ Digests are returned in the same LE-word form (8 words = 32 bytes).
 from __future__ import annotations
 
 import hashlib
-from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -51,23 +50,50 @@ def byteswap32(x):
 
 
 def _compress(state, block):
-    """state: [..., 8], block: [..., 16] BE words."""
-    w = [block[..., t] for t in range(16)]
-    for t in range(16, 64):
-        s0 = _rotr(w[t - 15], 7) ^ _rotr(w[t - 15], 18) ^ (w[t - 15] >> np.uint32(3))
-        s1 = _rotr(w[t - 2], 17) ^ _rotr(w[t - 2], 19) ^ (w[t - 2] >> np.uint32(10))
-        w.append(w[t - 16] + s0 + w[t - 7] + s1)
-    a, b, c, d, e, f, g, h = [state[..., i] for i in range(8)]
-    for t in range(64):
+    """state: [..., 8], block: [..., 16] BE words.
+
+    The 64 rounds run as a `fori_loop` with a rolling 16-word message
+    schedule rather than a full unroll: on the tunnelled-TPU backend the
+    dominant one-time cost is per-program executable size (compile +
+    transfer), so compression bodies must stay small — this kernel is
+    inlined into every Merkle tree level loop (see merkle._tree_builder).
+    """
+    k_tab = jnp.asarray(_K)
+
+    def round_body(t, carry):
+        v, w = carry                                # v: [..., 8], w: [..., 16]
+        tm = t % 16
+        # schedule word for round t (rounds 0-15 use the block as-is)
+        w1 = jnp.take(w, (tm + 1) % 16, axis=-1)
+        w9 = jnp.take(w, (tm + 9) % 16, axis=-1)
+        w14 = jnp.take(w, (tm + 14) % 16, axis=-1)
+        w0 = jnp.take(w, tm, axis=-1)
+        s0 = _rotr(w1, 7) ^ _rotr(w1, 18) ^ (w1 >> np.uint32(3))
+        s1 = _rotr(w14, 17) ^ _rotr(w14, 19) ^ (w14 >> np.uint32(10))
+        wt_new = w0 + s0 + w9 + s1
+        wt = jnp.where(t < 16, w0, wt_new)
+        w = _set_lane(w, tm, wt)
+
+        a, b, c, d, e, f, g, h = [v[..., i] for i in range(8)]
         S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
         ch = (e & f) ^ (~e & g)
-        t1 = h + S1 + ch + np.uint32(_K[t]) + w[t]
+        t1 = h + S1 + ch + jnp.take(k_tab, t) + wt
         S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
         maj = (a & b) ^ (a & c) ^ (b & c)
         t2 = S0 + maj
-        h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
-    out = jnp.stack([a, b, c, d, e, f, g, h], axis=-1)
-    return state + out
+        v = jnp.stack([t1 + t2, a, b, c, d + t1, e, f, g], axis=-1)
+        return v, w
+
+    v, _ = jax.lax.fori_loop(0, 64, round_body, (state, block))
+    return state + v
+
+
+def _set_lane(arr, idx, val):
+    """arr[..., idx] = val with a traced idx (one-hot select — cheap on VPU,
+    avoids scatter)."""
+    lanes = arr.shape[-1]
+    onehot = jax.lax.broadcasted_iota(jnp.int32, (lanes,), 0) == idx
+    return jnp.where(onehot, val[..., None], arr)
 
 
 def digest_rows_le(words_le: jnp.ndarray, msg_bytes: int) -> jnp.ndarray:

@@ -32,21 +32,41 @@ from ..hash import Hash, digests_to_bytes
 
 @lru_cache(maxsize=None)
 def _tree_builder(algorithm: str, n: int):
-    """One jitted program computing ALL tree levels (concatenated leaves-first).
-    The result STAYS on device; the host pulls only the 32-byte root eagerly
-    and gathers proof nodes on demand (tunnel-TPU transfers are the prover's
-    dominant cost, so full-tree pulls are never done)."""
+    """One jitted program computing ALL tree levels into a fixed-window flat
+    buffer: rows [0, n) are the leaves; level k >= 1 occupies a full n/2-row
+    window at offset n + (k-1)*(n/2) of which the first n/2^k rows are valid
+    (the rest is don't-care overhang from hashing a fixed-size window each
+    iteration).  The loop body is shape-invariant, so the whole tree is ONE
+    small program regardless of depth — program size and dispatch count are
+    the dominant costs on the tunnelled-TPU backend.  The buffer STAYS on
+    device; the host pulls only the 32-byte root eagerly and gathers proof
+    nodes on demand."""
     h = Hash(algorithm)
+    depth = n.bit_length() - 1
+    half = n // 2
 
     def build(leaves):
-        levels = [leaves]
-        cur = leaves
-        while cur.shape[0] > 1:
-            cur = h.hash_pairs(cur)
-            levels.append(cur)
-        return jnp.concatenate(levels, axis=0)
+        if depth == 0:
+            return leaves
+        out = jnp.zeros((n + depth * half, 8), dtype=jnp.uint32)
+        out = jax.lax.dynamic_update_slice(out, leaves, (0, 0))
+
+        def body(k, carry):
+            out, cur = carry                      # cur: [n, 8]
+            digests = h.hash_pairs(cur)           # [n/2, 8] (prefix valid)
+            out = jax.lax.dynamic_update_slice(out, digests, (n + k * half, 0))
+            cur = jax.lax.dynamic_update_slice(cur, digests, (0, 0))
+            return out, cur
+
+        out, _ = jax.lax.fori_loop(0, depth, body, (out, leaves))
+        return out
 
     return jax.jit(build)
+
+
+def _level_offset(n: int, level: int) -> int:
+    """Row offset of `level` in the fixed-window flat layout."""
+    return 0 if level == 0 else n + (level - 1) * (n // 2)
 
 
 @jax.jit
@@ -89,8 +109,9 @@ class MerkleTree:
         n = int(leaves.shape[0])
         assert n & (n - 1) == 0 and n >= 1, "leaf count must be a power of 2"
         flat = _tree_builder(hash_.algorithm, n)(leaves)
-        root = np.asarray(flat[-1]).astype("<u4").tobytes()
-        return cls(hash_, n.bit_length() - 1, flat_dev=flat, root=root)
+        depth = n.bit_length() - 1
+        root = np.asarray(flat[_level_offset(n, depth)]).astype("<u4").tobytes()
+        return cls(hash_, depth, flat_dev=flat, root=root)
 
     @classmethod
     def create_from_bytes(cls, leaves: Sequence[bytes], hash_: Hash) -> "MerkleTree":
@@ -110,15 +131,7 @@ class MerkleTree:
             return []
         if self._flat is not None:
             n = self.leaf_count
-            # level k starts at offset 2n - n/2^(k-1)  (leaves-first layout)
-            offsets = []
-            for level, idx in coords:
-                base = 0
-                size = n
-                for _ in range(level):
-                    base += size
-                    size //= 2
-                offsets.append(base + idx)
+            offsets = [_level_offset(n, level) + idx for level, idx in coords]
             rows = np.asarray(_gather_rows(
                 self._flat, jnp.asarray(offsets, dtype=jnp.int32))).astype("<u4")
             return [rows[i].tobytes() for i in range(rows.shape[0])]

@@ -5,10 +5,18 @@ Replaces galois's WASM `interpolateRoots` / `evalPolysAtRoots` /
 /root/reference/lib/components/CompositionPolynomial.ts:109-110).
 
 Design: iterative radix-2 Cooley-Tukey (decimation in time) over the limb
-representation.  Input is permuted to bit-reversed order (static gather),
-then log2(N) butterfly stages run as fully vectorized Montgomery mul/add/sub
-over [L, N/2] slabs.  Twiddle tables are computed once per (field, N) with a
-log-doubling power series and cached on device.
+representation, with ALL stage indexing computed inside a `lax.fori_loop`
+from the stage counter (pure bit arithmetic on an iota) — no per-stage
+reshapes and no uploaded index tables.  One tiny compiled program per
+(field, size, direction): on the tunnelled-TPU backend the dominant
+one-time cost is per-program executable size (compile + transfer), and the
+steady-state cost is per-dispatch round-trips, so a whole transform must be
+a single small program.
+
+The only materialized table is the twiddle half-table [L, n/2] (computed on
+device by a log-doubling power series — never uploaded).  Butterflies are
+expressed as three gathers along the lane axis (lo/hi pick, inverse-shuffle
+write-back), which keeps every stage shape-invariant at [L, B, n].
 
 A batched variant transforms R polynomials at once ([R, L, N]) by folding the
 register axis into the batch, which is how trace matrices are interpolated /
@@ -27,18 +35,8 @@ import numpy as np
 from ..field import PrimeField
 
 
-@lru_cache(maxsize=None)
-def _bitrev_perm(n: int) -> np.ndarray:
-    bits = n.bit_length() - 1
-    idx = np.arange(n, dtype=np.uint32)
-    rev = np.zeros(n, dtype=np.uint32)
-    for b in range(bits):
-        rev |= ((idx >> b) & 1) << (bits - 1 - b)
-    return rev
-
-
 class NttPlan:
-    """Cached twiddles + permutation for one (field, size, direction)."""
+    """Cached twiddle table for one (field, size, direction)."""
 
     def __init__(self, field: PrimeField, n: int, inverse: bool):
         self.field = field
@@ -53,7 +51,6 @@ class NttPlan:
             self.w_table = field.device.power_series(w, n // 2)
         else:
             self.w_table = field.device.power_series(1, 1)
-        self.perm = jnp.asarray(_bitrev_perm(n))
         if inverse:
             self.n_inv = field.inv(n % field.modulus)
 
@@ -84,39 +81,67 @@ def _jitted_transform(field: PrimeField, n: int, inverse: bool):
     return jax.jit(run)
 
 
-def _ntt_core(field: PrimeField, a: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
+def _bitrev_indices(n: int) -> jnp.ndarray:
+    """Bit-reversal permutation of 0..n-1, computed on device from an iota
+    (nothing host-built is uploaded)."""
+    bits = n.bit_length() - 1
+    idx = jax.lax.iota(jnp.int32, n)
+    rev = jnp.zeros_like(idx)
+    for b in range(bits):
+        rev = rev | (((idx >> b) & 1) << (bits - 1 - b))
+    return rev
+
+
+def _ntt_core(field: PrimeField, a: jnp.ndarray, plan) -> jnp.ndarray:
     """Core transform. a: [..., L, n] (Montgomery). Returns same shape.
 
-    Leading axes are batch. Butterflies keep the pair axis adjacent so XLA
-    sees large contiguous vector ops.
+    Runs log2(n) butterfly stages as a fori_loop whose body derives the
+    lo/hi/twiddle/shuffle index vectors from the stage counter `s`:
+
+        m = 2^s;  butterfly i pairs lo = (i>>s)<<(s+1) | (i & (m-1)),
+        hi = lo + m, twiddle = w^((i & (m-1)) << (S-1-s)).
+
+    The write-back is a single inverse shuffle: output position p takes
+    concat(new_lo, new_hi)[bit_s(p)*n/2 + ((p>>(s+1))<<s) + (p & (m-1))].
     """
     dev = field.device
     n = plan.n
     if n == 1:
         return a
+    S = n.bit_length() - 1
     batch_shape = a.shape[:-2]
     L = a.shape[-2]
-    # gather to bit-reversed order along the last axis
-    a = jnp.take(a, plan.perm, axis=-1)
-    m = 1
-    while m < n:
-        stride = n // (2 * m)
-        tw = plan.w_table[:, ::stride][:, :m]              # [L, m]
-        a = a.reshape(batch_shape + (L, n // (2 * m), 2, m))
-        lo = a[..., 0, :]
-        hi = a[..., 1, :]
-        # move L next to the elementwise dims for dev ops: dev expects [L, ...]
-        lo_m = jnp.moveaxis(lo, -3, 0) if lo.ndim > 2 else lo
-        hi_m = jnp.moveaxis(hi, -3, 0) if hi.ndim > 2 else hi
-        twb = tw.reshape((L,) + (1,) * (lo_m.ndim - 2) + (m,))
-        t = dev.mont_mul(hi_m, twb)
-        new_lo = dev.add(lo_m, t)
-        new_hi = dev.sub(lo_m, t)
-        lo = jnp.moveaxis(new_lo, 0, -3) if lo.ndim > 2 else new_lo
-        hi = jnp.moveaxis(new_hi, 0, -3) if hi.ndim > 2 else new_hi
-        a = jnp.stack([lo, hi], axis=-2)
-        m *= 2
-    return a.reshape(batch_shape + (L, n))
+    # normalize to [L, B, n]
+    x = a.reshape((-1, L, n)) if batch_shape else a[None]
+    x = jnp.swapaxes(x, 0, 1)                                   # [L, B, n]
+    x = jnp.take(x, _bitrev_indices(n), axis=-1)
+
+    w_table = plan.w_table                                      # [L, n/2]
+    half = n // 2
+    i_half = jax.lax.iota(jnp.int32, half)
+    i_full = jax.lax.iota(jnp.int32, n)
+
+    def body(s, x):
+        m = jnp.int32(1) << s
+        jmask = m - 1
+        lo_idx = ((i_half >> s) << (s + 1)) | (i_half & jmask)
+        hi_idx = lo_idx + m
+        tw_idx = (i_half & jmask) << (S - 1 - s)
+        lo = jnp.take(x, lo_idx, axis=-1)                       # [L, B, n/2]
+        hi = jnp.take(x, hi_idx, axis=-1)
+        tw = jnp.take(w_table, tw_idx, axis=-1)[:, None, :]     # [L, 1, n/2]
+        t = dev.mont_mul(hi, tw)
+        new_lo = dev._add(lo, t)
+        new_hi = dev._sub(lo, t)
+        cat = jnp.concatenate([new_lo, new_hi], axis=-1)        # [L, B, n]
+        src = (((i_full >> s) & 1) * half
+               + ((i_full >> (s + 1)) << s)
+               + (i_full & jmask))
+        return jnp.take(cat, src, axis=-1)
+
+    x = jax.lax.fori_loop(0, S, body, x)
+    x = jnp.swapaxes(x, 0, 1)                                   # [B, L, n]
+    return x.reshape(batch_shape + (L, n)) if batch_shape else x[0]
 
 
 def ntt(field: PrimeField, values: jnp.ndarray, n: Optional[int] = None) -> jnp.ndarray:
