@@ -233,6 +233,7 @@ class ProvingContext(_ContextBase):
         super().__init__(module, trace_length)
         self.seed = [int(s) % self.field.modulus for s in seed]
         self._trace = None
+        self._trace_std = None
 
     # ----- static columns ----------------------------------------------------
     @cached_property
@@ -292,13 +293,36 @@ class ProvingContext(_ContextBase):
         """
         if self._trace is not None:
             return self._trace
-        trace = self._generate_trace_native()
-        if trace is None:
-            trace = self._generate_trace_pyhost()
-        self._trace = trace
+        std = self.generate_execution_trace_std()           # np [R, L, T]
+        dev = self.field.device
+        R, L, T = std.shape
+        flat = np.ascontiguousarray(std.transpose(1, 0, 2).reshape(L, R * T))
+        mont = dev.to_mont(jnp.asarray(flat))               # [L, R*T]
+        self._trace = mont.reshape(L, R, T).transpose(1, 0, 2)
         return self._trace
 
-    def _generate_trace_native(self) -> Optional[jnp.ndarray]:
+    def generate_execution_trace_std(self) -> np.ndarray:
+        """Host-side trace as standard-form limbs, np.uint32 [R, L, T] —
+        the upload format consumed by the fused prover (protocol/fused.py),
+        and the source for host-side assertion validation (no device sync)."""
+        if self._trace_std is not None:
+            return self._trace_std
+        std = self._generate_trace_native()
+        if std is None:
+            std = self._generate_trace_pyhost()
+        self._trace_std = std
+        return std
+
+    def trace_value_host(self, register: int, step: int) -> Optional[int]:
+        """Standard-form python int at (register, step) from the host trace,
+        or None if only a device trace exists."""
+        if self._trace_std is None:
+            return None
+        from ..field.limbs import limbs_to_ints
+        col = self._trace_std[register, :, step:step + 1]
+        return limbs_to_ints(col)[0]
+
+    def _generate_trace_native(self) -> Optional[np.ndarray]:
         """Code-generated C++ recurrence (genstark_tpu.native); None on any
         toolchain/codegen failure so the Python interpreter takes over."""
         schema = self.schema
@@ -310,17 +334,14 @@ class ProvingContext(_ContextBase):
             out = run(self.static_columns, self.seed, self.trace_length)
         except Exception:
             return None
-        dev = self.field.device
+        L = self.field.device.L
         # u64 limbs -> 16-bit limbs: LE view, truncate to the device limb count
-        u16 = out.view(np.uint16)[..., :dev.L]              # [T, R, L]
-        flat = np.ascontiguousarray(
-            u16.transpose(2, 1, 0).reshape(dev.L, -1)).astype(np.uint32)
-        mont = dev.to_mont(jnp.asarray(flat))               # [L, R*T]
-        R, T = out.shape[1], out.shape[0]
-        return mont.reshape(dev.L, R, T).transpose(1, 0, 2)
+        u16 = out.view(np.uint16)[..., :L]                  # [T, R, L]
+        return np.ascontiguousarray(u16.transpose(1, 2, 0)).astype(np.uint32)
 
-    def _generate_trace_pyhost(self) -> jnp.ndarray:
+    def _generate_trace_pyhost(self) -> np.ndarray:
         from .ir import compile_host_fn
+        from ..field.limbs import ints_to_limbs
         schema = self.schema
         p = self.field.modulus
         T = self.trace_length
@@ -336,9 +357,9 @@ class ProvingContext(_ContextBase):
         for t in range(T - 1):
             state = step_fn(state, statics[t])
             rows.append(state)
-        dev = self.field.device
+        L = self.field.device.L
         flat = [rows[t][r] for r in range(R) for t in range(T)]
-        return dev.from_ints(flat).reshape(dev.L, R, T).transpose(1, 0, 2)
+        return np.asarray(ints_to_limbs(flat, L)).reshape(L, R, T).transpose(1, 0, 2)
 
     def _generate_execution_trace_device(self) -> jnp.ndarray:
         """Device lax.scan trace generation (used when the trace should be
@@ -421,15 +442,22 @@ class ProvingContext(_ContextBase):
             coeffs = ntt.intt(self.field, col)
             static_evals.append(ntt.low_degree_extend(self.field, coeffs, Nc))
 
-        def run(p_evals, n_evals, static_evals):
-            env = {"dev": dev, "ndim": 1,
-                   "trace": [p_evals[r] for r in range(schema.trace_width)],
-                   "next": [n_evals[r] for r in range(schema.trace_width)],
-                   "static": static_evals}
-            cache = {}
-            return jnp.stack([eval_device(c, env, cache) for c in schema.constraints])
+        run = jax.jit(lambda p, n, s: self.evaluate_transition_constraints_traced(p, n, s))
+        return run(p_evals, n_evals, static_evals)
 
-        return jax.jit(run)(p_evals, n_evals, static_evals)
+    def evaluate_transition_constraints_traced(self, p_evals, n_evals,
+                                               static_evals) -> jnp.ndarray:
+        """Traceable constraint-DAG evaluation over any domain: p_evals /
+        n_evals [R, L, N], static_evals list of [L, N] — all Montgomery.
+        Used both by evaluate_transition_constraints and the fused prover."""
+        schema = self.schema
+        dev = self.field.device
+        env = {"dev": dev, "ndim": 1,
+               "trace": [p_evals[r] for r in range(schema.trace_width)],
+               "next": [n_evals[r] for r in range(schema.trace_width)],
+               "static": list(static_evals)}
+        cache = {}
+        return jnp.stack([eval_device(c, env, cache) for c in schema.constraints])
 
 
 class VerificationContext(_ContextBase):

@@ -299,6 +299,17 @@ class DeviceField:
             cur *= 2
         return out[:, :length]
 
+    def combine_many_mont(self, vectors, coeffs_mont: jnp.ndarray) -> jnp.ndarray:
+        """Random linear combination with device-resident coefficients:
+        sum_k coeffs_mont[:, k] * vectors[k].  vectors: list of [L, N]
+        (Montgomery); coeffs_mont: [L, K] (Montgomery, possibly traced —
+        the fused prover derives them from the transcript on device)."""
+        acc = None
+        for k in range(len(vectors)):
+            term = self.mont_mul(vectors[k], coeffs_mont[:, k:k + 1])
+            acc = term if acc is None else self._add(acc, term)
+        return acc
+
     def _combine_many(self, vectors: jnp.ndarray, coeffs: Sequence[int]) -> jnp.ndarray:
         """Random linear combination: sum_k coeffs[k] * vectors[k].
 

@@ -42,31 +42,75 @@ def _tree_builder(algorithm: str, n: int):
     device; the host pulls only the 32-byte root eagerly and gathers proof
     nodes on demand."""
     h = Hash(algorithm)
+    return jax.jit(lambda leaves: build_tree_flat(h, leaves, n))
+
+
+def build_tree_flat(h: "Hash", leaves: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Traceable all-levels tree build (fixed-window layout, see
+    _tree_builder).  Inlined by the fused prover (protocol/fused.py)."""
     depth = n.bit_length() - 1
     half = n // 2
+    if depth == 0:
+        return leaves
+    out = jnp.zeros((n + depth * half, 8), dtype=jnp.uint32)
+    out = jax.lax.dynamic_update_slice(out, leaves, (0, 0))
 
-    def build(leaves):
-        if depth == 0:
-            return leaves
-        out = jnp.zeros((n + depth * half, 8), dtype=jnp.uint32)
-        out = jax.lax.dynamic_update_slice(out, leaves, (0, 0))
+    def body(k, carry):
+        out, cur = carry                      # cur: [n, 8]
+        digests = h.hash_pairs(cur)           # [n/2, 8] (prefix valid)
+        out = jax.lax.dynamic_update_slice(out, digests, (n + k * half, 0))
+        cur = jax.lax.dynamic_update_slice(cur, digests, (0, 0))
+        return out, cur
 
-        def body(k, carry):
-            out, cur = carry                      # cur: [n, 8]
-            digests = h.hash_pairs(cur)           # [n/2, 8] (prefix valid)
-            out = jax.lax.dynamic_update_slice(out, digests, (n + k * half, 0))
-            cur = jax.lax.dynamic_update_slice(cur, digests, (0, 0))
-            return out, cur
-
-        out, _ = jax.lax.fori_loop(0, depth, body, (out, leaves))
-        return out
-
-    return jax.jit(build)
+    out, _ = jax.lax.fori_loop(0, depth, body, (out, leaves))
+    return out
 
 
 def _level_offset(n: int, level: int) -> int:
     """Row offset of `level` in the fixed-window flat layout."""
     return 0 if level == 0 else n + (level - 1) * (n // 2)
+
+
+def tree_row_count(n: int) -> int:
+    """Total rows of the fixed-window flat layout for n leaves."""
+    return n + (n.bit_length() - 1) * (n // 2)
+
+
+def plan_batch(positions: Sequence[int], depth: int):
+    """Proof schedule for `prove_batch`, separated from fetching so callers
+    can batch digest gathers across many trees (one device round-trip total —
+    see protocol/fused.py).  Returns (emissions, coords): emissions are
+    (column, level, sibling_idx) triples in emission order; coords is the
+    full fetch list [(0, p) for each position] + [(level, sib) ...]."""
+    assert len(set(positions)) == len(positions), "positions must be unique"
+    emissions: List[tuple] = []      # (ci, level, sibling_idx)
+    available = set(positions)
+    for level in range(depth):
+        done = set()
+        parents = set()
+        for ci, p in enumerate(positions):
+            idx = p >> level
+            if idx in done or (idx ^ 1) in done:
+                continue
+            done.add(idx)
+            sib = idx ^ 1
+            if sib not in available:
+                emissions.append((ci, level, sib))
+            parents.add(idx >> 1)
+        available = parents
+    coords = [(0, p) for p in positions] + [(lvl, sib) for _, lvl, sib in emissions]
+    return emissions, coords
+
+
+def assemble_batch(positions: Sequence[int], depth: int, emissions,
+                   fetched: List[bytes]) -> BatchMerkleProof:
+    """Build the proof object from `plan_batch`'s schedule and the fetched
+    digests (in coords order)."""
+    values = fetched[:len(positions)]
+    columns: List[List[bytes]] = [[] for _ in positions]
+    for (ci, _, _), val in zip(emissions, fetched[len(positions):]):
+        columns[ci].append(val)
+    return BatchMerkleProof(values=values, nodes=columns, depth=depth)
 
 
 @jax.jit
@@ -150,29 +194,9 @@ class MerkleTree:
         The schedule is pure index bookkeeping; all digests are fetched in
         two batched device gathers (leaves + sibling nodes).
         """
-        assert len(set(positions)) == len(positions), "positions must be unique"
-        emissions: List[tuple] = []      # (ci, level, sibling_idx)
-        available = set(positions)
-        for level in range(self.depth):
-            done = set()
-            parents = set()
-            for ci, p in enumerate(positions):
-                idx = p >> level
-                if idx in done or (idx ^ 1) in done:
-                    continue
-                done.add(idx)
-                sib = idx ^ 1
-                if sib not in available:
-                    emissions.append((ci, level, sib))
-                parents.add(idx >> 1)
-            available = parents
-        fetched = self._fetch_nodes([(0, p) for p in positions]
-                                    + [(lvl, sib) for _, lvl, sib in emissions])
-        values = fetched[:len(positions)]
-        columns: List[List[bytes]] = [[] for _ in positions]
-        for (ci, _, _), val in zip(emissions, fetched[len(positions):]):
-            columns[ci].append(val)
-        return BatchMerkleProof(values=values, nodes=columns, depth=self.depth)
+        emissions, coords = plan_batch(positions, self.depth)
+        fetched = self._fetch_nodes(coords)
+        return assemble_batch(positions, self.depth, emissions, fetched)
 
     @staticmethod
     def verify_batch(root: bytes, positions: Sequence[int],

@@ -53,7 +53,24 @@ class BoundaryConstraints:
             out.append(f.div(f.sub(p, i), z))
         return out
 
-    def evaluate_all(self, p_polys: jnp.ndarray, domain_size: int) -> List[jnp.ndarray]:
+    def i_polys_std(self) -> "np.ndarray":
+        """Interpolant coefficients as standard-form limb arrays [B, L, T_pad]
+        (zero-padded), for passing as a traced argument to the fused prover —
+        assertion VALUES stay out of the compiled program so it is reusable
+        across inputs.  T_pad = max interpolant length."""
+        import numpy as np
+        from ..field.limbs import ints_to_limbs
+        field = self.field
+        L = field.device.L
+        t_pad = max(len(c["i_poly"]) for c in self.polys.values())
+        out = np.zeros((self.count, L, t_pad), dtype=np.uint32)
+        for b, (register, c) in enumerate(self.polys.items()):
+            ints = [v % field.modulus for v in c["i_poly"]]
+            out[b, :, :len(ints)] = ints_to_limbs(ints, L)
+        return out
+
+    def evaluate_all(self, p_polys: jnp.ndarray, domain_size: int,
+                     i_polys_mont=None) -> List[jnp.ndarray]:
         """p_polys: [R, L, T] trace polynomials in coefficient form
         (Montgomery).  Returns a list of [L, Ne] B(x) vectors in register
         insertion order.
@@ -70,11 +87,15 @@ class BoundaryConstraints:
         f = field.host
         dev = field.device
         out = []
-        for register, c in self.polys.items():
+        for b, (register, c) in enumerate(self.polys.items()):
             coeffs = p_polys[register]                         # [L, T]
             T = coeffs.shape[-1]
-            i_ints = [v % field.modulus for v in c["i_poly"]]
-            i_dev = dev.from_ints(i_ints + [0] * (T - len(i_ints)))
+            if i_polys_mont is not None:
+                i_dev = jnp.pad(i_polys_mont[b],
+                                [(0, 0), (0, T - i_polys_mont.shape[-1])])
+            else:
+                i_ints = [v % field.modulus for v in c["i_poly"]]
+                i_dev = dev.from_ints(i_ints + [0] * (T - len(i_ints)))
             n_coeffs = dev.sub(coeffs, i_dev)
             for root in c["xs"]:
                 n_coeffs = _synthetic_divide(field, n_coeffs, root)

@@ -55,27 +55,44 @@ class CompositionPolynomial:
         b_coefficient_count = self.b_poly.count
         if self.composition_degree > T:
             b_coefficient_count *= 2
+        self.d_coefficient_count = d_coefficient_count
+        self.b_coefficient_count = b_coefficient_count
 
-        coefficients = self.field.prng(seed, d_coefficient_count + b_coefficient_count)
-        self.d_coefficients = coefficients[:d_coefficient_count]
-        self.b_coefficients = coefficients[d_coefficient_count:]
+        # seed=None builds the structure only (counts, groups, degrees) —
+        # the fused prover derives the coefficients on device from the same
+        # transcript stream (protocol/fused.py).
+        if seed is not None:
+            coefficients = self.field.prng(seed,
+                                           d_coefficient_count + b_coefficient_count)
+            self.d_coefficients = coefficients[:d_coefficient_count]
+            self.b_coefficients = coefficients[d_coefficient_count:]
+        else:
+            self.d_coefficients = None
+            self.b_coefficients = None
 
     @property
     def coefficient_count(self) -> int:
-        return len(self.d_coefficients) + len(self.b_coefficients)
+        return self.d_coefficient_count + self.b_coefficient_count
 
     # ----- prover path ------------------------------------------------------
     def evaluate_all(self, p_polys: jnp.ndarray, p_evaluations: jnp.ndarray,
-                     context) -> jnp.ndarray:
+                     context, d_coeffs_mont=None, b_coeffs_mont=None,
+                     b_ipolys_mont=None, q_evals=None) -> jnp.ndarray:
         """p_polys: [R, L, T] coefficients; p_evaluations: [R, L, Ne].
-        Returns C(x) evaluations [L, Ne] (Montgomery)."""
+        Returns C(x) evaluations [L, Ne] (Montgomery).
+
+        With the optional `*_mont` arguments ([L, K] Montgomery coefficient
+        arrays / [B, L, T] boundary interpolants) the whole method is
+        traceable with the transcript-derived values as traced inputs — used
+        by the fused single-program prover (protocol/fused.py)."""
         field = self.field
         dev = field.device
         f = field.host
         Ne = context.evaluation_domain_size
         Nc = context.composition_domain_size
 
-        q_evals = context.evaluate_transition_constraints(p_polys)   # [C, L, Nc]
+        if q_evals is None:
+            q_evals = context.evaluate_transition_constraints(p_polys)  # [C, L, Nc]
         self.log("Computed transition constraint polynomials Q(x)")
 
         # degree adjustment over the composition domain
@@ -92,7 +109,10 @@ class CompositionPolynomial:
                 qa.append(dev.mul(qa[i], powers))
         self.log("Adjusted degrees of Q(x) polynomials")
 
-        qc = dev.combine_many(qa, self.d_coefficients)               # [L, Nc]
+        if d_coeffs_mont is None:
+            qc = dev.combine_many(qa, self.d_coefficients)           # [L, Nc]
+        else:
+            qc = dev.combine_many_mont(qa, d_coeffs_mont)
         self.log("Computed linear combination of Q(x) polynomials")
 
         qc_poly = ntt.intt(field, qc)
@@ -106,7 +126,8 @@ class CompositionPolynomial:
         d_evals = dev.mul(qe, z_inverses)
         self.log("Computed D(x) polynomial")
 
-        b_vectors = self.b_poly.evaluate_all(p_polys, Ne)
+        b_vectors = self.b_poly.evaluate_all(p_polys, Ne,
+                                             i_polys_mont=b_ipolys_mont)
         self.log("Computed boundary constraint polynomials B(x)")
 
         ba = list(b_vectors)
@@ -118,7 +139,12 @@ class CompositionPolynomial:
                 ba.append(dev.mul(ba[i], psb_powers))
         self.log("Adjusted degrees of B(x) polynomials")
 
-        bc = dev.combine_many(ba, self.b_coefficients) if ba else dev.zeros((Ne,))
+        if not ba:
+            bc = dev.zeros((Ne,))
+        elif b_coeffs_mont is None:
+            bc = dev.combine_many(ba, self.b_coefficients)
+        else:
+            bc = dev.combine_many_mont(ba, b_coeffs_mont)
         self.log("Computed linear combination of B(x) polynomials")
 
         return dev.add(d_evals, bc)

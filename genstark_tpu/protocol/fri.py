@@ -289,9 +289,12 @@ def _domain_tables(field: PrimeField, root_of_unity: int, size: int):
     return fwd, inv
 
 
-@lru_cache(maxsize=None)
-def _fold_jit(field: PrimeField, root_of_unity: int, domain_size: int, depth: int):
-    """Jitted quartic fold for one (domain, depth); specialX is a traced arg."""
+def fold_traced(field: PrimeField, root_of_unity: int, domain_size: int,
+                depth: int, values: jnp.ndarray, c_s: jnp.ndarray,
+                c_s2: jnp.ndarray) -> jnp.ndarray:
+    """Traceable quartic fold at `depth`: values [L, N] -> [L, N/4], where
+    N = domain_size / 4^depth.  c_s / c_s2 are specialX and specialX^2 as
+    [L, 1] Montgomery arrays (traced — they come from the transcript)."""
     f = field.host
     dev = field.device
     fwd, inv = _domain_tables(field, root_of_unity, domain_size)
@@ -310,23 +313,27 @@ def _fold_jit(field: PrimeField, root_of_unity: int, domain_size: int, depth: in
     c4 = dev.const(inv4, shape=(1,))
     c4q = dev.const(f.mul(inv4, inv_q), shape=(1,))
 
-    def run(values, c_s, c_s2):
-        y = values.reshape(dev.L, 4, M)
-        y0, y1, y2, y3 = y[:, 0], y[:, 1], y[:, 2], y[:, 3]
-        x = x_tab
-        ix = ix_tab
-        x2 = dev.mont_mul(x, x)
-        qx = dev.mont_mul(c_q, x)
-        s_plus_x = dev._add(c_s, x)
-        s_minus_x = dev._sub(c_s, x)
-        t02 = dev.mont_mul(dev._add(c_s2, x2),
-                           dev._sub(dev.mont_mul(y0, s_plus_x),
-                                    dev.mont_mul(y2, s_minus_x)))
-        t13 = dev.mont_mul(dev._sub(c_s2, x2),
-                           dev._sub(dev.mont_mul(y3, dev._sub(c_s, qx)),
-                                    dev.mont_mul(y1, dev._add(c_s, qx))))
-        ix3 = dev.mont_mul(dev.mont_mul(ix, ix), ix)
-        acc = dev._add(dev.mont_mul(t02, c4), dev.mont_mul(t13, c4q))
-        return dev.mont_mul(acc, ix3)
+    y = values.reshape(dev.L, 4, M)
+    y0, y1, y2, y3 = y[:, 0], y[:, 1], y[:, 2], y[:, 3]
+    x = x_tab
+    ix = ix_tab
+    x2 = dev.mont_mul(x, x)
+    qx = dev.mont_mul(c_q, x)
+    s_plus_x = dev._add(c_s, x)
+    s_minus_x = dev._sub(c_s, x)
+    t02 = dev.mont_mul(dev._add(c_s2, x2),
+                       dev._sub(dev.mont_mul(y0, s_plus_x),
+                                dev.mont_mul(y2, s_minus_x)))
+    t13 = dev.mont_mul(dev._sub(c_s2, x2),
+                       dev._sub(dev.mont_mul(y3, dev._sub(c_s, qx)),
+                                dev.mont_mul(y1, dev._add(c_s, qx))))
+    ix3 = dev.mont_mul(dev.mont_mul(ix, ix), ix)
+    acc = dev._add(dev.mont_mul(t02, c4), dev.mont_mul(t13, c4q))
+    return dev.mont_mul(acc, ix3)
 
-    return jax.jit(run)
+
+@lru_cache(maxsize=None)
+def _fold_jit(field: PrimeField, root_of_unity: int, domain_size: int, depth: int):
+    """Jitted quartic fold for one (domain, depth); specialX is a traced arg."""
+    return jax.jit(lambda values, c_s, c_s2: fold_traced(
+        field, root_of_unity, domain_size, depth, values, c_s, c_s2))

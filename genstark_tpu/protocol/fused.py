@@ -1,0 +1,365 @@
+"""Single-program prover: the full pipeline (trace -> FRI remainder) as ONE
+compiled XLA program with the Fiat-Shamir transcript derived on device.
+
+Why: on the tunnelled-TPU backend every dispatch and every device<->host
+sync is a full round-trip, and every distinct compiled program pays a large
+one-time load cost.  The staged pipeline (protocol/stark.py) issues dozens
+of dispatches and syncs per proof; this module compiles steps 3-7 of the
+reference pipeline (/root/reference/lib/Stark.ts:81-163) into a single
+program whose only traced inputs are the execution trace, the static
+register columns and the boundary interpolants — so one program serves any
+inputs/assertion-values for a given AIR + assertion structure — and whose
+outputs stay device-resident except for a handful of 32-byte roots.
+
+Host work after the single dispatch: Fiat-Shamir query sampling (rejection
+sampling over sha256, inherently sequential and tiny), Merkle proof
+scheduling (pure index bookkeeping), and THREE batched gathers (tree nodes,
+spot-check values, remainder) to pull exactly the proof bytes.
+
+The math is shared with the staged components (CompositionPolynomial,
+BoundaryConstraints, ZeroPolynomial, fold_traced, build_tree_flat): the
+staged path remains as `Stark.prove_staged` and the verifier recomputes the
+same transcript on host, so any divergence fails the round-trip tests.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ntt
+from ..field.limbs import ints_to_limbs, limbs_to_ints
+from ..hash import Hash
+from ..merkle import (_level_offset, assemble_batch, build_tree_flat,
+                      plan_batch, tree_row_count)
+from . import fiat_shamir as fs
+from .composition import CompositionPolynomial
+from .fri import (MAX_REMAINDER_LENGTH, LowDegreeProver, fold_traced,
+                  get_augmented_positions)
+from .lincomb import LinearCombination
+from .proof import FriComponent, LowDegreeProof, StarkProof
+
+
+def _to_mont_batch(dev, arr_std: jnp.ndarray) -> jnp.ndarray:
+    """[B, L, N] standard-form -> Montgomery (limb axis moved for dev ops)."""
+    moved = jnp.moveaxis(arr_std, 1, 0)            # [L, B, N]
+    return jnp.moveaxis(dev._to_mont(moved), 0, 1)
+
+
+def _from_mont_batch(dev, arr: jnp.ndarray) -> jnp.ndarray:
+    moved = jnp.moveaxis(arr, 1, 0)
+    return jnp.moveaxis(dev._from_mont(moved), 0, 1)
+
+
+class FusedProver:
+    """One instance per (Stark, proving-context shape, assertion structure).
+
+    The compiled program depends on the AIR schema, trace length, options
+    and assertion *positions* — NOT on input or assertion values, which
+    enter as traced arguments.
+    """
+
+    def __init__(self, stark, context, assertions):
+        self.stark = stark
+        self.context = context
+        self.field = context.field
+        self.hash: Hash = stark.hash
+        self.assertions = list(assertions)
+        self.c_poly = CompositionPolynomial(assertions, None, context)
+        self.l_comb = LinearCombination(None, self.c_poly.composition_degree,
+                                        self.c_poly.coefficient_count, context)
+        Ne = context.evaluation_domain_size
+        self.Ne = Ne
+        # FRI layer sizes: fold while the layer is longer than the remainder cap
+        self.layer_sizes: List[int] = []
+        n = Ne
+        while n > MAX_REMAINDER_LENGTH:
+            self.layer_sizes.append(n)
+            n //= 4
+        self.remainder_size = n
+        self.secret_idx = list(context.schema.secret_input_registers)
+        # Materialize every NTT plan / FRI domain table OUTSIDE the trace:
+        # their twiddle tables are lru-cached device arrays, and creating one
+        # under a jit trace would cache a tracer (UnexpectedTracerError later).
+        from .fri import _domain_tables
+        T = context.trace_length
+        Nc = context.composition_domain_size
+        ntt.get_plan(self.field, T, True)
+        ntt.get_plan(self.field, Ne, False)
+        ntt.get_plan(self.field, Nc, False)
+        ntt.get_plan(self.field, Nc, True)
+        _domain_tables(self.field, context.root_of_unity, Ne)
+        self._jit = jax.jit(self._pipeline)
+
+    # ------------------------------------------------------------------ trace
+    def _pipeline(self, trace_std, statics_std, i_polys_std):
+        """trace_std: u32[R, L, T] standard limbs; statics_std: u32[K, L, T];
+        i_polys_std: u32[B, L, Tp] boundary interpolant coefficients.
+
+        Returns (trees_cat, e_std, vals_cat, roots, remainder_std):
+          trees_cat  [sum tree rows, 8]  — e-tree then each FRI layer tree
+          e_std      [V, L, Ne]          — committed evaluation vectors (std)
+          vals_cat   [L, sum layer cols] — FRI layer values (std), lc first
+          roots      [1 + n_layers, 8]   — e-root, lc-root, column roots...
+          remainder_std [L, remainder]
+        """
+        context = self.context
+        field = self.field
+        dev = field.device
+        f = field.host
+        hash_ = self.hash
+        Ne = self.Ne
+        Nc = context.composition_domain_size
+        T = context.trace_length
+        R = context.schema.trace_width
+        elem = field.element_size
+
+        # ----- 3. P(x) polynomials + LDE -------------------------------------
+        trace = _to_mont_batch(dev, trace_std)                  # [R, L, T]
+        p_polys = ntt.intt(field, trace)
+        p_evals = ntt.low_degree_extend(field, p_polys, Ne)    # [R, L, Ne]
+
+        # static registers: polynomials once, then per-domain evaluations
+        K = statics_std.shape[0]
+        if K:
+            statics = _to_mont_batch(dev, statics_std)          # [K, L, T]
+            static_polys = ntt.intt(field, statics)
+            static_evals_nc = ntt.low_degree_extend(field, static_polys, Nc)
+            s_evals = [ntt.low_degree_extend(field, static_polys[k], Ne)
+                       for k in self.secret_idx]
+        else:
+            static_evals_nc = jnp.zeros((0, dev.L, Nc), dtype=jnp.uint32)
+            s_evals = []
+
+        # ----- 4. evaluation tree ---------------------------------------------
+        e_vectors_std = [dev._from_mont(p_evals[r]) for r in range(R)]
+        e_vectors_std += [dev._from_mont(s) for s in s_evals]
+        leaves = hash_.merge_element_rows(e_vectors_std, elem)
+        e_flat = build_tree_flat(hash_, leaves, Ne)
+        e_root = fs.root_words(e_flat, Ne)
+
+        # ----- transcript coefficients (device PRNG seeded by e-root) --------
+        n_ps = (R + len(s_evals)) * (2 if self.l_comb.ps_incremental_degree > 0
+                                     else 1)
+        total = self.c_poly.coefficient_count + n_ps
+        stream = fs.prng_elements_dev(field, e_root, total)     # [L, total]
+        dc = self.c_poly.d_coefficient_count
+        bc = self.c_poly.b_coefficient_count
+        d_coeffs = stream[:, :dc]
+        b_coeffs = stream[:, dc:dc + bc]
+        l_coeffs = stream[:, dc + bc:]
+
+        # ----- 5. composition polynomial --------------------------------------
+        cf = Nc // T
+        p_evals_nc = ntt.low_degree_extend(field, p_polys, Nc)
+        n_evals_nc = jnp.roll(p_evals_nc, -cf, axis=-1)
+        q_evals = context.evaluate_transition_constraints_traced(
+            p_evals_nc, n_evals_nc,
+            [static_evals_nc[k] for k in range(K)])
+        i_polys_mont = _to_mont_batch(dev, i_polys_std) if i_polys_std.shape[0] \
+            else i_polys_std
+        c_evals = self.c_poly.evaluate_all(
+            p_polys, p_evals, context, d_coeffs_mont=d_coeffs,
+            b_coeffs_mont=b_coeffs, b_ipolys_mont=i_polys_mont, q_evals=q_evals)
+
+        # ----- 6. linear combination ------------------------------------------
+        ps = [p_evals[r] for r in range(R)] + list(s_evals)
+        if self.l_comb.ps_incremental_degree > 0:
+            power_seed = f.exp(context.root_of_unity,
+                               self.l_comb.ps_incremental_degree)
+            ps_powers = dev.power_series(power_seed, Ne)
+            ps = ps + [dev.mont_mul(v, ps_powers) for v in ps]
+        l_evals = dev._add(c_evals, dev.combine_many_mont(ps, l_coeffs))
+
+        # ----- 7. FRI chain ----------------------------------------------------
+        # Every layer gets a committed tree — INCLUDING the final remainder
+        # layer, whose root is the last column root the verifier re-commits
+        # against (/root/reference/lib/components/LowDegreeProver.ts:161-167).
+        # The fold of layer d is seeded by layer d's own tree root.
+        roots = [e_root]
+        tree_flats = [e_flat]
+        layer_stds = []
+        values = l_evals
+        all_layers = self.layer_sizes + [self.remainder_size]
+        for depth, n in enumerate(all_layers):
+            v_std = dev._from_mont(values)
+            layer_stds.append(v_std)
+            row_hashes = hash_.digest_stride_rows(v_std, elem)
+            flat = build_tree_flat(hash_, row_hashes, n // 4)
+            tree_flats.append(flat)
+            cur_root = fs.root_words(flat, n // 4)
+            roots.append(cur_root)
+            if depth < len(self.layer_sizes):
+                s = fs.prng_single_dev(field, cur_root)         # [L, 1]
+                s2 = dev.mont_mul(s, s)
+                values = fold_traced(field, context.root_of_unity, Ne, depth,
+                                     values, s, s2)
+        remainder_std = layer_stds[-1]                          # [L, rem]
+
+        trees_cat = jnp.concatenate(tree_flats, axis=0)
+        e_std = jnp.stack(e_vectors_std)                        # [V, L, Ne]
+        vals_cat = jnp.concatenate(layer_stds, axis=1)          # [L, sum]
+        roots_cat = jnp.stack(roots)                            # [1+layers, 8]
+        return trees_cat, e_std, vals_cat, roots_cat, remainder_std
+
+    # --------------------------------------------------------------- assembly
+    def prove(self, trace_std: np.ndarray) -> StarkProof:
+        context = self.context
+        field = self.field
+        stark = self.stark
+        Ne = self.Ne
+        elem = field.element_size
+
+        statics_np = self._statics_std()
+        i_polys_np = self.c_poly.b_poly.i_polys_std()
+        trees_cat, e_std, vals_cat, roots_cat, remainder_dev = self._jit(
+            jnp.asarray(trace_std), jnp.asarray(statics_np),
+            jnp.asarray(i_polys_np))
+
+        roots_np = np.asarray(roots_cat).astype("<u4")          # tiny sync
+        root_bytes = [roots_np[i].tobytes() for i in range(roots_np.shape[0])]
+        e_root = root_bytes[0]
+        layer_roots = root_bytes[1:]                            # lc + columns
+        remainder_std = np.asarray(remainder_dev)
+        remainder = limbs_to_ints(remainder_std)
+
+        # --- FRI host transcript: query positions per layer -------------------
+        idx_gen = stark.index_generator
+        lc_root = layer_roots[0]
+        exe_positions = idx_gen.get_exe_indexes(lc_root, Ne)
+        ld_prover = LowDegreeProver(idx_gen, self.hash, context)
+
+        # remainder degree check during proving (LowDegreeProver.ts:183)
+        f = field.host
+        last_rou = f.exp(context.root_of_unity, 4 ** len(self.layer_sizes))
+        max_deg = self.c_poly.composition_degree
+        ld_prover.verify_remainder(
+            remainder, max_deg // (4 ** len(self.layer_sizes)), last_rou)
+
+        # per-tree proof plans (host bookkeeping, zero device traffic)
+        all_layers = self.layer_sizes + [self.remainder_size]
+        tree_sizes = [Ne] + [n // 4 for n in all_layers]
+        tree_offsets = np.cumsum([0] + [tree_row_count(n) for n in tree_sizes])
+        plans = []          # (tree_index, positions, emissions, coords)
+
+        def plan(tree_index, positions):
+            depth = tree_sizes[tree_index].bit_length() - 1
+            emissions, coords = plan_batch(positions, depth)
+            plans.append((tree_index, positions, depth, emissions, coords))
+            return len(plans) - 1
+
+        augmented_positions = stark._get_augmented_positions(exe_positions, Ne)
+        e_plan = plan(0, augmented_positions)
+        lc_aug = get_augmented_positions(exe_positions, Ne)
+        lc_plan = plan(1, lc_aug)
+
+        comp_plans = []     # (col_positions, col_aug, col_plan, poly_plan)
+        for i, n in enumerate(self.layer_sizes):
+            column_length = n // 4
+            positions = idx_gen.get_fri_indexes(layer_roots[i + 1],
+                                                column_length)
+            augmented = get_augmented_positions(positions, column_length)
+            col_plan = plan(i + 2, augmented)   # tree of layer i+1
+            poly_plan = plan(i + 1, positions)  # tree of layer i
+            comp_plans.append((positions, augmented, col_plan, poly_plan))
+
+        # --- ONE gather for all tree digests ----------------------------------
+        all_rows = []
+        for tree_index, _, _, _, coords in plans:
+            n = tree_sizes[tree_index]
+            base = int(tree_offsets[tree_index])
+            all_rows += [base + _level_offset(n, level) + idx
+                         for level, idx in coords]
+        fetched_rows = np.asarray(_gather_rows_jit(
+            trees_cat, jnp.asarray(all_rows, dtype=jnp.int32))).astype("<u4")
+        fetched_bytes = [fetched_rows[i].tobytes()
+                         for i in range(fetched_rows.shape[0])]
+        proofs = []
+        off = 0
+        for tree_index, positions, depth, emissions, coords in plans:
+            chunk = fetched_bytes[off:off + len(coords)]
+            off += len(coords)
+            proofs.append(assemble_batch(positions, depth, emissions, chunk))
+
+        # --- ONE gather for all committed values ------------------------------
+        # e-tree leaf values (merged rows) + per-layer stride-row values
+        V = e_std.shape[0]
+        e_idx = augmented_positions
+        layer_col_offsets = np.cumsum([0] + list(all_layers))
+        val_idx = []        # indices into vals_cat's column axis
+        lc_rows = [(0, lc_aug)]
+        for i, (positions, augmented, _, _) in enumerate(comp_plans):
+            lc_rows.append((i + 1, augmented))      # column values (layer i+1)
+            lc_rows.append((i, positions))          # poly row values (layer i)
+        for layer, rows in lc_rows:
+            m = all_layers[layer] // 4
+            base = int(layer_col_offsets[layer])
+            val_idx += [base + r + j * m for r in rows for j in range(4)]
+        vals_np = np.asarray(_gather_cols_jit(
+            vals_cat, jnp.asarray(val_idx, dtype=jnp.int32)))
+        val_ints = limbs_to_ints(vals_np)
+
+        e_vals_np = np.asarray(_gather_evals_jit(
+            e_std, jnp.asarray(e_idx, dtype=jnp.int32)))        # [V, L, n]
+        e_values = []
+        for i in range(len(e_idx)):
+            buf = bytearray()
+            for v in range(V):
+                val = limbs_to_ints(e_vals_np[v, :, i:i + 1])[0]
+                buf += val.to_bytes(elem, "little")
+            e_values.append(bytes(buf))
+
+        def take_rows(count):
+            nonlocal val_ints
+            chunk, val_ints = val_ints[:4 * count], val_ints[4 * count:]
+            return [b"".join(chunk[4 * i + j].to_bytes(elem, "little")
+                             for j in range(4)) for i in range(count)]
+
+        lc_proof = proofs[lc_plan]
+        lc_proof.values = take_rows(len(lc_aug))
+        components = []
+        for i, (positions, augmented, col_plan, poly_plan) in enumerate(comp_plans):
+            column_proof = proofs[col_plan]
+            column_proof.values = take_rows(len(augmented))
+            poly_proof = proofs[poly_plan]
+            poly_proof.values = take_rows(len(positions))
+            components.append(FriComponent(column_root=layer_roots[i + 1],
+                                           column_proof=column_proof,
+                                           poly_proof=poly_proof))
+
+        ld_proof = LowDegreeProof(lc_root=lc_root, lc_proof=lc_proof,
+                                  components=components, remainder=remainder)
+
+        e_proof = proofs[e_plan]
+        e_proof.values = e_values
+        return StarkProof(ev_root=e_root, ev_proof=e_proof, ld_proof=ld_proof,
+                          i_shapes=context.input_shapes)
+
+    def _statics_std(self) -> np.ndarray:
+        context = self.context
+        L = self.field.device.L
+        cols = context.static_columns
+        K = len(cols)
+        T = context.trace_length
+        out = np.zeros((K, L, T), dtype=np.uint32)
+        for k in range(K):
+            out[k] = ints_to_limbs(cols[k], L)
+        return out
+
+
+@jax.jit
+def _gather_rows_jit(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(flat, idx, axis=0)
+
+
+@jax.jit
+def _gather_cols_jit(v: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(v, idx, axis=1)
+
+
+@jax.jit
+def _gather_evals_jit(v: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(v, idx, axis=2)

@@ -71,6 +71,7 @@ class Stark:
         self.serializer = Serializer(air.field, air.trace_register_count,
                                      air.secret_input_count, self.hash.digest_size)
         self.logger = logger or noop_logger
+        self._fused_cache = {}
 
     # ----- accessors --------------------------------------------------------
     @property
@@ -85,6 +86,82 @@ class Stark:
     # ----- prover -----------------------------------------------------------
     def prove(self, assertions: Sequence[Assertion], inputs: Optional[Sequence] = None,
               seed: Optional[Sequence[int]] = None) -> StarkProof:
+        """Fused single-program prover (protocol/fused.py): the whole
+        pipeline compiles to ONE device program with the Fiat-Shamir
+        transcript derived on device; the host only samples query positions
+        and gathers proof bytes.  `prove_staged` keeps the stage-by-stage
+        pipeline (useful for debugging and step-level logging)."""
+        log = self.logger.start("Starting STARK computation")
+        if not assertions:
+            raise TypeError("At least one assertion must be provided")
+
+        context = self.air.init_proving_context(inputs, seed)
+        log("Set up evaluation context")
+        try:
+            trace_std = context.generate_execution_trace_std()   # np [R, L, T]
+            self._validate_assertions_host(context, trace_std, assertions)
+        except StarkError:
+            raise
+        except Exception as error:
+            raise StarkError("Failed to generate the execution trace") from error
+        log("Generated execution trace")
+
+        prover = self._fused_prover(context, assertions)
+        proof = prover.prove(trace_std)
+        log("Computed STARK proof (fused single-program pipeline)")
+        self.logger.done(log, "STARK computed")
+        return proof
+
+    def _fused_prover(self, context, assertions: Sequence[Assertion]):
+        """Cache FusedProver instances per (context shape, assertion
+        structure): the compiled program does not depend on input or
+        assertion values."""
+        from .fused import FusedProver
+        key = (context.trace_length, tuple(tuple(s) for s in context.input_shapes),
+               tuple((a.step, a.register) for a in assertions))
+        cached = self._fused_cache.get(key)
+        if cached is not None:
+            prover = cached
+            # rebind to this context (same shapes -> same program) and refresh
+            # the value-dependent host-side pieces (boundary interpolants).
+            if prover.context is not context or \
+                    [(a.step, a.register, a.value) for a in prover.assertions] != \
+                    [(a.step, a.register, a.value) for a in assertions]:
+                prover = self._rebuild_fused(prover, context, assertions)
+                self._fused_cache[key] = prover
+            return prover
+        prover = FusedProver(self, context, assertions)
+        self._fused_cache[key] = prover
+        return prover
+
+    @staticmethod
+    def _rebuild_fused(old, context, assertions):
+        from .fused import FusedProver
+        new = FusedProver(old.stark, context, assertions)
+        new._jit = old._jit          # same program: value-independent
+        return new
+
+    def _validate_assertions_host(self, context, trace_std,
+                                  assertions: Sequence[Assertion]) -> None:
+        """Assertion validation against the host-side trace — no device sync
+        (/root/reference/lib/Stark.ts:356-376)."""
+        registers, _, steps = trace_std.shape
+        for a in assertions:
+            if a.register < 0 or a.register >= registers:
+                raise ValueError(
+                    f"Invalid assertion: register {a.register} is outside of register bank")
+            if a.step < 0 or a.step >= steps:
+                raise ValueError(
+                    f"Invalid assertion: step {a.step} is outside of execution trace")
+            v = context.trace_value_host(a.register, a.step)
+            if v != a.value % self.air.field.modulus:
+                raise StarkError(
+                    f"Assertion at step {a.step}, register {a.register} "
+                    f"conflicts with execution trace")
+
+    def prove_staged(self, assertions: Sequence[Assertion],
+                     inputs: Optional[Sequence] = None,
+                     seed: Optional[Sequence[int]] = None) -> StarkProof:
         log = self.logger.start("Starting STARK computation")
         if not assertions:
             raise TypeError("At least one assertion must be provided")
