@@ -24,6 +24,13 @@ import sys
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# 8 virtual CPU devices for sharding tests.  The XLA_FLAGS spelling
+# (--xla_force_host_platform_device_count) stopped working in current JAX;
+# jax_num_cpu_devices is the supported knob.
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
 # Persistent compilation cache: XLA:CPU compiles of wide-field kernels are the
 # dominant test cost; cache them across runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/genstark_jax_cache")
