@@ -94,6 +94,37 @@ class FusedProver:
         _domain_tables(self.field, context.root_of_unity, Ne)
         self._jit = jax.jit(self._pipeline)
 
+        # Structure-level caps for the padded proof-extraction gather (the
+        # actual per-proof counts vary slightly with Fiat-Shamir dedup, so
+        # index arrays are padded to these caps -> fixed shapes -> exactly
+        # one compiled gather program and ONE device->host transfer).
+        exe_q = stark.index_generator.exe_query_count
+        fri_q = stark.index_generator.fri_query_count
+        all_layers = self.layer_sizes + [self.remainder_size]
+        tree_sizes = [Ne] + [n // 4 for n in all_layers]
+        pos_caps = [2 * exe_q, exe_q]                        # e-tree, lc tree
+        for i in range(len(self.layer_sizes)):
+            pos_caps += [fri_q, fri_q]                       # col, poly plans
+        depths = [tree_sizes[0].bit_length() - 1, tree_sizes[1].bit_length() - 1]
+        for i in range(len(self.layer_sizes)):
+            depths += [tree_sizes[i + 2].bit_length() - 1,
+                       tree_sizes[i + 1].bit_length() - 1]
+        cap_rows = sum(p * (1 + d) for p, d in zip(pos_caps, depths))
+        cap_cols = self.remainder_size + 4 * (exe_q + 2 * fri_q * len(self.layer_sizes))
+        cap_evals = 2 * exe_q
+        self._caps = (cap_rows, cap_cols, cap_evals)
+        L = self.field.device.L
+        V = context.schema.trace_width + len(self.secret_idx)
+
+        def packed(trees_cat, vals_cat, e_std, idx_rows, idx_cols, idx_e):
+            rows = jnp.take(trees_cat, idx_rows, axis=0)         # [capR, 8]
+            cols = jnp.take(vals_cat, idx_cols, axis=1)          # [L, capC]
+            evals = jnp.take(e_std, idx_e, axis=2)               # [V, L, capE]
+            return jnp.concatenate([rows.reshape(-1), cols.reshape(-1),
+                                    evals.reshape(-1)])
+
+        self._packed_gather = jax.jit(packed)
+
     # ------------------------------------------------------------------ trace
     def _pipeline(self, trace_std, statics_std, i_polys_std):
         """trace_std: u32[R, L, T] standard limbs; statics_std: u32[K, L, T];
@@ -223,21 +254,12 @@ class FusedProver:
         root_bytes = [roots_np[i].tobytes() for i in range(roots_np.shape[0])]
         e_root = root_bytes[0]
         layer_roots = root_bytes[1:]                            # lc + columns
-        remainder_std = np.asarray(remainder_dev)
-        remainder = limbs_to_ints(remainder_std)
 
         # --- FRI host transcript: query positions per layer -------------------
         idx_gen = stark.index_generator
         lc_root = layer_roots[0]
         exe_positions = idx_gen.get_exe_indexes(lc_root, Ne)
         ld_prover = LowDegreeProver(idx_gen, self.hash, context)
-
-        # remainder degree check during proving (LowDegreeProver.ts:183)
-        f = field.host
-        last_rou = f.exp(context.root_of_unity, 4 ** len(self.layer_sizes))
-        max_deg = self.c_poly.composition_degree
-        ld_prover.verify_remainder(
-            remainder, max_deg // (4 ** len(self.layer_sizes)), last_rou)
 
         # per-tree proof plans (host bookkeeping, zero device traffic)
         all_layers = self.layer_sizes + [self.remainder_size]
@@ -266,30 +288,23 @@ class FusedProver:
             poly_plan = plan(i + 1, positions)  # tree of layer i
             comp_plans.append((positions, augmented, col_plan, poly_plan))
 
-        # --- ONE gather for all tree digests ----------------------------------
+        # --- ONE packed gather + ONE transfer for every proof byte ------------
+        # Index arrays are padded to structure-level caps so the gather
+        # program has fixed shapes (one compile per Stark config).
         all_rows = []
         for tree_index, _, _, _, coords in plans:
             n = tree_sizes[tree_index]
             base = int(tree_offsets[tree_index])
             all_rows += [base + _level_offset(n, level) + idx
                          for level, idx in coords]
-        fetched_rows = np.asarray(_gather_rows_jit(
-            trees_cat, jnp.asarray(all_rows, dtype=jnp.int32))).astype("<u4")
-        fetched_bytes = [fetched_rows[i].tobytes()
-                         for i in range(fetched_rows.shape[0])]
-        proofs = []
-        off = 0
-        for tree_index, positions, depth, emissions, coords in plans:
-            chunk = fetched_bytes[off:off + len(coords)]
-            off += len(coords)
-            proofs.append(assemble_batch(positions, depth, emissions, chunk))
 
-        # --- ONE gather for all committed values ------------------------------
-        # e-tree leaf values (merged rows) + per-layer stride-row values
         V = e_std.shape[0]
+        L = self.field.device.L
         e_idx = augmented_positions
         layer_col_offsets = np.cumsum([0] + list(all_layers))
-        val_idx = []        # indices into vals_cat's column axis
+        # remainder occupies a FIXED prefix of the column-index section
+        rem_base = int(layer_col_offsets[-2])
+        val_idx = list(range(rem_base, rem_base + self.remainder_size))
         lc_rows = [(0, lc_aug)]
         for i, (positions, augmented, _, _) in enumerate(comp_plans):
             lc_rows.append((i + 1, augmented))      # column values (layer i+1)
@@ -298,17 +313,45 @@ class FusedProver:
             m = all_layers[layer] // 4
             base = int(layer_col_offsets[layer])
             val_idx += [base + r + j * m for r in rows for j in range(4)]
-        vals_np = np.asarray(_gather_cols_jit(
-            vals_cat, jnp.asarray(val_idx, dtype=jnp.int32)))
-        val_ints = limbs_to_ints(vals_np)
 
-        e_vals_np = np.asarray(_gather_evals_jit(
-            e_std, jnp.asarray(e_idx, dtype=jnp.int32)))        # [V, L, n]
+        capR, capC, capE = self._caps
+        rows_pad = np.zeros(capR, dtype=np.int32)
+        rows_pad[:len(all_rows)] = all_rows
+        cols_pad = np.zeros(capC, dtype=np.int32)
+        cols_pad[:len(val_idx)] = val_idx
+        e_pad = np.zeros(capE, dtype=np.int32)
+        e_pad[:len(e_idx)] = e_idx
+        packed = np.asarray(self._packed_gather(
+            trees_cat, vals_cat, e_std, jnp.asarray(rows_pad),
+            jnp.asarray(cols_pad), jnp.asarray(e_pad)))
+        rows_sec = packed[:capR * 8].reshape(capR, 8).astype("<u4")
+        cols_sec = packed[capR * 8:capR * 8 + L * capC].reshape(L, capC)
+        evals_sec = packed[capR * 8 + L * capC:].reshape(V, L, capE)
+
+        fetched_bytes = [rows_sec[i].tobytes() for i in range(len(all_rows))]
+        proofs = []
+        off = 0
+        for tree_index, positions, depth, emissions, coords in plans:
+            chunk = fetched_bytes[off:off + len(coords)]
+            off += len(coords)
+            proofs.append(assemble_batch(positions, depth, emissions, chunk))
+
+        all_col_ints = limbs_to_ints(cols_sec[:, :len(val_idx)])
+        remainder = all_col_ints[:self.remainder_size]
+        val_ints = all_col_ints[self.remainder_size:]
+
+        # remainder degree check during proving (LowDegreeProver.ts:183)
+        f = field.host
+        last_rou = f.exp(context.root_of_unity, 4 ** len(self.layer_sizes))
+        max_deg = self.c_poly.composition_degree
+        ld_prover.verify_remainder(
+            remainder, max_deg // (4 ** len(self.layer_sizes)), last_rou)
+
         e_values = []
         for i in range(len(e_idx)):
             buf = bytearray()
             for v in range(V):
-                val = limbs_to_ints(e_vals_np[v, :, i:i + 1])[0]
+                val = limbs_to_ints(evals_sec[v, :, i:i + 1])[0]
                 buf += val.to_bytes(elem, "little")
             e_values.append(bytes(buf))
 
@@ -350,16 +393,3 @@ class FusedProver:
         return out
 
 
-@jax.jit
-def _gather_rows_jit(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take(flat, idx, axis=0)
-
-
-@jax.jit
-def _gather_cols_jit(v: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take(v, idx, axis=1)
-
-
-@jax.jit
-def _gather_evals_jit(v: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take(v, idx, axis=2)

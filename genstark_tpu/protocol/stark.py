@@ -138,7 +138,10 @@ class Stark:
     def _rebuild_fused(old, context, assertions):
         from .fused import FusedProver
         new = FusedProver(old.stark, context, assertions)
-        new._jit = old._jit          # same program: value-independent
+        # same structure -> same programs: reuse the compiled jits so a new
+        # context/assertion-values never recompiles
+        new._jit = old._jit
+        new._packed_gather = old._packed_gather
         return new
 
     def _validate_assertions_host(self, context, trace_std,
