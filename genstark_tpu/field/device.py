@@ -107,11 +107,19 @@ class DeviceField:
         shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
         acc = jnp.zeros((2 * L + 1,) + shape, dtype=_U32)
         p_arr = jnp.asarray(self._p_np).reshape((L,) + (1,) * len(shape))
+        npad = [(0, 0)] * len(shape)
+
+        def _off_add(acc, x, off):
+            # acc[off:off+x.shape[0]] += x via pad+add: static-slice .at[].add
+            # lowers to scatter-add, which is pathological for XLA compile
+            # time at this op count (thousands of instances in one program).
+            return acc + jnp.pad(x, [(off, acc.shape[0] - off - x.shape[0])] + npad)
+
         # product phase: acc += a_i * b at offset i, lo/hi split
         for i in range(L):
             prod = a[i][None] * b                      # [L, ...]
-            acc = acc.at[i:i + L].add(prod & _MASK)
-            acc = acc.at[i + 1:i + L + 1].add(prod >> LIMB_BITS)
+            acc = _off_add(acc, prod & _MASK, i)
+            acc = _off_add(acc, prod >> LIMB_BITS, i + 1)
         # reduction phase: L sequential steps, each O(1) vector ops
         c = jnp.zeros(shape, dtype=_U32)
         for i in range(L):
@@ -120,8 +128,8 @@ class DeviceField:
             mp = m[None] * p_arr                       # [L, ...]
             c = (x + (mp[0] & _MASK)) >> LIMB_BITS
             if L > 1:
-                acc = acc.at[i + 1:i + L].add(mp[1:] & _MASK)
-            acc = acc.at[i + 1:i + L + 1].add(mp >> LIMB_BITS)
+                acc = _off_add(acc, mp[1:] & _MASK, i + 1)
+            acc = _off_add(acc, mp >> LIMB_BITS, i + 1)
         # final carry resolution over result limbs L..2L-1 (value < 2p)
         t = []
         for k in range(L):

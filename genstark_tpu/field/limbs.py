@@ -54,14 +54,26 @@ def limbs_to_int(limbs) -> int:
 
 
 def ints_to_limbs(values, L: int) -> np.ndarray:
-    """Iterable of ints -> np.uint32[L, N]."""
+    """Iterable of ints -> np.uint32[L, N] (values must be in [0, 2^(16L)))."""
     values = list(values)
-    out = np.empty((L, len(values)), dtype=np.uint32)
-    for j, v in enumerate(values):
-        for i in range(L):
-            out[i, j] = v & LIMB_MASK
-            v >>= LIMB_BITS
-    return out
+    nbytes = 2 * L
+    raw = b"".join(v.to_bytes(nbytes, "little") for v in values)
+    return np.frombuffer(raw, dtype="<u2").reshape(len(values), L).T.astype(np.uint32)
+
+
+def power_series_mont_np(params: "MontParams", seed: int, length: int) -> np.ndarray:
+    """[1, s, s^2, ...] in Montgomery form as np.uint32[L, length], computed
+    with host big-int arithmetic (one multiply per element — much cheaper
+    than a compiled log-doubling chain, and keeps large power tables OUT of
+    compiled programs where they would be baked in as multi-MB literals)."""
+    p = params.modulus
+    step = seed % p
+    vals = []
+    v = params.R_mod                       # Montgomery form of 1
+    for _ in range(length):
+        vals.append(v)
+        v = v * step % p
+    return ints_to_limbs(vals, params.L)
 
 
 def limbs_to_ints(limbs: np.ndarray) -> list:

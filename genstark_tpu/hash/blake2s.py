@@ -76,10 +76,11 @@ def _compress(h, m, t, last):
 
     def round_body(r, v):
         ms = jnp.take(m, sigma[r], axis=-1)                      # [..., 16]
-        # column mixing (4 independent Gs), then diagonal mixing (4 more)
+        # column mixing (4 independent Gs), then diagonal mixing (4 more);
+        # v is rebuilt by a static-permutation stack each half (scatter-free)
         for half in range(2):
-            ia, ib, ic, id_ = A[4 * half:], B[4 * half:], C[4 * half:], D[4 * half:]
-            ia, ib, ic, id_ = ia[:4], ib[:4], ic[:4], id_[:4]
+            ia, ib, ic, id_ = (A[4 * half:4 * half + 4], B[4 * half:4 * half + 4],
+                               C[4 * half:4 * half + 4], D[4 * half:4 * half + 4])
             a, b, c, d = (jnp.take(v, jnp.asarray(ia), axis=-1),
                           jnp.take(v, jnp.asarray(ib), axis=-1),
                           jnp.take(v, jnp.asarray(ic), axis=-1),
@@ -87,11 +88,15 @@ def _compress(h, m, t, last):
             x = ms[..., 8 * half + 0::2][..., :4]
             y = ms[..., 8 * half + 1::2][..., :4]
             a, b, c, d = G(a, b, c, d, x, y)
+            # lane -> (source array, source column), statically known
+            src = {}
             for k in range(4):
-                v = v.at[..., int(ia[k])].set(a[..., k])
-                v = v.at[..., int(ib[k])].set(b[..., k])
-                v = v.at[..., int(ic[k])].set(c[..., k])
-                v = v.at[..., int(id_[k])].set(d[..., k])
+                src[int(ia[k])] = (a, k)
+                src[int(ib[k])] = (b, k)
+                src[int(ic[k])] = (c, k)
+                src[int(id_[k])] = (d, k)
+            v = jnp.stack([src[lane][0][..., src[lane][1]] for lane in range(16)],
+                          axis=-1)
         return v
 
     v = jax.lax.fori_loop(0, 10, round_body, v)

@@ -93,7 +93,17 @@ def _bitrev_indices(n: int) -> jnp.ndarray:
 
 
 def _ntt_core(field: PrimeField, a: jnp.ndarray, plan) -> jnp.ndarray:
+    """Plan-based wrapper over ntt_core_table (kept for callers that hold an
+    NttPlan, e.g. the distributed transforms)."""
+    return ntt_core_table(field, a, plan.n, plan.w_table)
+
+
+def ntt_core_table(field: PrimeField, a: jnp.ndarray, n: int,
+                   w_table: jnp.ndarray) -> jnp.ndarray:
     """Core transform. a: [..., L, n] (Montgomery). Returns same shape.
+    w_table: [L, n/2] twiddle half-table (Montgomery) — may be a traced
+    argument (the fused prover passes power tables as program parameters so
+    they are never baked into executables as literals).
 
     Runs log2(n) butterfly stages as a fori_loop whose body derives the
     lo/hi/twiddle/shuffle index vectors from the stage counter `s`:
@@ -105,7 +115,6 @@ def _ntt_core(field: PrimeField, a: jnp.ndarray, plan) -> jnp.ndarray:
     concat(new_lo, new_hi)[bit_s(p)*n/2 + ((p>>(s+1))<<s) + (p & (m-1))].
     """
     dev = field.device
-    n = plan.n
     if n == 1:
         return a
     S = n.bit_length() - 1
@@ -116,7 +125,6 @@ def _ntt_core(field: PrimeField, a: jnp.ndarray, plan) -> jnp.ndarray:
     x = jnp.swapaxes(x, 0, 1)                                   # [L, B, n]
     x = jnp.take(x, _bitrev_indices(n), axis=-1)
 
-    w_table = plan.w_table                                      # [L, n/2]
     half = n // 2
     i_half = jax.lax.iota(jnp.int32, half)
     i_full = jax.lax.iota(jnp.int32, n)

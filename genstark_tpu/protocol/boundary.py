@@ -70,7 +70,7 @@ class BoundaryConstraints:
         return out
 
     def evaluate_all(self, p_polys: jnp.ndarray, domain_size: int,
-                     i_polys_mont=None) -> List[jnp.ndarray]:
+                     i_polys_mont=None, tables=None) -> List[jnp.ndarray]:
         """p_polys: [R, L, T] trace polynomials in coefficient form
         (Montgomery).  Returns a list of [L, Ne] B(x) vectors in register
         insertion order.
@@ -97,13 +97,20 @@ class BoundaryConstraints:
                 i_ints = [v % field.modulus for v in c["i_poly"]]
                 i_dev = dev.from_ints(i_ints + [0] * (T - len(i_ints)))
             n_coeffs = dev.sub(coeffs, i_dev)
-            for root in c["xs"]:
-                n_coeffs = _synthetic_divide(field, n_coeffs, root)
-            out.append(ntt.low_degree_extend(field, n_coeffs, domain_size))
+            for j, root in enumerate(c["xs"]):
+                powers = tables["bdiv"][b][j] if tables is not None else None
+                n_coeffs = _synthetic_divide(field, n_coeffs, root, powers)
+            if tables is not None:
+                padded = jnp.pad(n_coeffs,
+                                 [(0, 0), (0, domain_size - n_coeffs.shape[-1])])
+                out.append(ntt.ntt_core_table(field, padded, domain_size,
+                                              tables["ne_fwd_w"]))
+            else:
+                out.append(ntt.low_degree_extend(field, n_coeffs, domain_size))
         return out
 
 
-def _synthetic_divide(field, a: jnp.ndarray, c: int) -> jnp.ndarray:
+def _synthetic_divide(field, a: jnp.ndarray, c: int, powers=None) -> jnp.ndarray:
     """Exact division of polynomial a (coeff form, [L, T] Montgomery) by the
     linear factor (x - c), keeping the [L, T] shape (quotient degree is one
     lower, so the top coefficient comes out zero).
@@ -111,13 +118,17 @@ def _synthetic_divide(field, a: jnp.ndarray, c: int) -> jnp.ndarray:
     Closed form b_k = sum_{j>k} a_j c^(j-k-1), computed as
     b_k = cinv^(k+1) * suffix_sum_{j>k}(a_j c^j) — log2(T) vector adds plus
     two power-series multiplies, instead of a sequential Horner recurrence
-    (which would serialize on TPU).
+    (which would serialize on TPU).  `powers` optionally supplies the
+    (c-powers, c^-1-powers) tables as traced parameters (fused prover).
     """
     f = field.host
     dev = field.device
     T = a.shape[-1]
-    powers_c = dev.power_series(c, T)                          # [L, T]
-    powers_cinv = dev.power_series(f.inv(c), T)
+    if powers is not None:
+        powers_c, powers_cinv = powers
+    else:
+        powers_c = dev.power_series(c, T)                      # [L, T]
+        powers_cinv = dev.power_series(f.inv(c), T)
     u = dev.mul(a, powers_c)                                   # u_j = a_j c^j
     # inclusive suffix sums via log-doubling, then shift to exclusive
     s = u

@@ -77,14 +77,19 @@ class CompositionPolynomial:
     # ----- prover path ------------------------------------------------------
     def evaluate_all(self, p_polys: jnp.ndarray, p_evaluations: jnp.ndarray,
                      context, d_coeffs_mont=None, b_coeffs_mont=None,
-                     b_ipolys_mont=None, q_evals=None) -> jnp.ndarray:
+                     b_ipolys_mont=None, q_evals=None, tables=None) -> jnp.ndarray:
         """p_polys: [R, L, T] coefficients; p_evaluations: [R, L, Ne].
         Returns C(x) evaluations [L, Ne] (Montgomery).
 
         With the optional `*_mont` arguments ([L, K] Montgomery coefficient
         arrays / [B, L, T] boundary interpolants) the whole method is
         traceable with the transcript-derived values as traced inputs — used
-        by the fused single-program prover (protocol/fused.py)."""
+        by the fused single-program prover (protocol/fused.py).
+
+        `tables` (fused path) supplies every power table as traced program
+        parameters ('domain', 'adjust' {group_idx}, 'nc_inv_w', 'ne_fwd_w',
+        'incr', 'bdiv') so no multi-MB table gets constant-folded into the
+        compiled program as a literal."""
         field = self.field
         dev = field.device
         f = field.host
@@ -99,12 +104,15 @@ class CompositionPolynomial:
         composition_factor = Ne // Nc
         composition_rou = f.exp(context.root_of_unity, composition_factor)
         qa = [q_evals[i] for i in range(q_evals.shape[0])]
-        for group in self.constraint_groups:
+        for gi, group in enumerate(self.constraint_groups):
             if group["degree"] == self.combination_degree:
                 continue
-            incremental = self.combination_degree - group["degree"]
-            power_seed = f.exp(composition_rou, incremental)
-            powers = dev.power_series(power_seed, Nc)
+            if tables is not None:
+                powers = tables["adjust"][gi]
+            else:
+                incremental = self.combination_degree - group["degree"]
+                power_seed = f.exp(composition_rou, incremental)
+                powers = dev.power_series(power_seed, Nc)
             for i in group["indexes"]:
                 qa.append(dev.mul(qa[i], powers))
         self.log("Adjusted degrees of Q(x) polynomials")
@@ -115,11 +123,18 @@ class CompositionPolynomial:
             qc = dev.combine_many_mont(qa, d_coeffs_mont)
         self.log("Computed linear combination of Q(x) polynomials")
 
-        qc_poly = ntt.intt(field, qc)
-        qe = ntt.low_degree_extend(field, qc_poly, Ne)               # [L, Ne]
+        if tables is not None:
+            qc_poly = ntt.ntt_core_table(field, qc, Nc, tables["nc_inv_w"])
+            qc_poly = dev.mont_mul(qc_poly, dev.const(f.inv(Nc), shape=(1,)))
+            qe = ntt.ntt_core_table(field, jnp.pad(qc_poly, [(0, 0), (0, Ne - Nc)]),
+                                    Ne, tables["ne_fwd_w"])
+        else:
+            qc_poly = ntt.intt(field, qc)
+            qe = ntt.low_degree_extend(field, qc_poly, Ne)           # [L, Ne]
         self.log("Performed low degree extensions of Q(x) polynomial")
 
-        domain = dev.power_series(context.root_of_unity, Ne)
+        domain = tables["domain"] if tables is not None else \
+            dev.power_series(context.root_of_unity, Ne)
         self.log("Computed Z(x) polynomial")
         z_inverses = self.z_poly.evaluate_all_inverse(domain)
         self.log("Computed Z(x) inverses")
@@ -127,14 +142,18 @@ class CompositionPolynomial:
         self.log("Computed D(x) polynomial")
 
         b_vectors = self.b_poly.evaluate_all(p_polys, Ne,
-                                             i_polys_mont=b_ipolys_mont)
+                                             i_polys_mont=b_ipolys_mont,
+                                             tables=tables)
         self.log("Computed boundary constraint polynomials B(x)")
 
         ba = list(b_vectors)
         b_incremental = self.composition_degree - context.trace_length
         if b_incremental > 0:
-            power_seed = f.exp(context.root_of_unity, b_incremental)
-            psb_powers = dev.power_series(power_seed, Ne)
+            if tables is not None:
+                psb_powers = tables["incr"]
+            else:
+                power_seed = f.exp(context.root_of_unity, b_incremental)
+                psb_powers = dev.power_series(power_seed, Ne)
             for i in range(self.b_poly.count):
                 ba.append(dev.mul(ba[i], psb_powers))
         self.log("Adjusted degrees of B(x) polynomials")

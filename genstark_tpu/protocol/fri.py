@@ -291,13 +291,16 @@ def _domain_tables(field: PrimeField, root_of_unity: int, size: int):
 
 def fold_traced(field: PrimeField, root_of_unity: int, domain_size: int,
                 depth: int, values: jnp.ndarray, c_s: jnp.ndarray,
-                c_s2: jnp.ndarray) -> jnp.ndarray:
+                c_s2: jnp.ndarray, domain_tables=None) -> jnp.ndarray:
     """Traceable quartic fold at `depth`: values [L, N] -> [L, N/4], where
     N = domain_size / 4^depth.  c_s / c_s2 are specialX and specialX^2 as
-    [L, 1] Montgomery arrays (traced — they come from the transcript)."""
+    [L, 1] Montgomery arrays (traced — they come from the transcript).
+    domain_tables: optional (fwd, inv) [L, domain_size] power tables passed
+    as traced program parameters (the fused prover's table pack)."""
     f = field.host
     dev = field.device
-    fwd, inv = _domain_tables(field, root_of_unity, domain_size)
+    fwd, inv = domain_tables if domain_tables is not None else \
+        _domain_tables(field, root_of_unity, domain_size)
     stride = 4 ** depth
     N = domain_size // stride
 

@@ -81,17 +81,8 @@ class FusedProver:
             n //= 4
         self.remainder_size = n
         self.secret_idx = list(context.schema.secret_input_registers)
-        # Materialize every NTT plan / FRI domain table OUTSIDE the trace:
-        # their twiddle tables are lru-cached device arrays, and creating one
-        # under a jit trace would cache a tracer (UnexpectedTracerError later).
-        from .fri import _domain_tables
-        T = context.trace_length
-        Nc = context.composition_domain_size
-        ntt.get_plan(self.field, T, True)
-        ntt.get_plan(self.field, Ne, False)
-        ntt.get_plan(self.field, Nc, False)
-        ntt.get_plan(self.field, Nc, True)
-        _domain_tables(self.field, context.root_of_unity, Ne)
+        self._table_specs = self._build_table_specs()
+        self._pack_cache = None       # device table pack, built on first prove
         self._jit = jax.jit(self._pipeline)
 
         # Structure-level caps for the padded proof-extraction gather (the
@@ -125,10 +116,66 @@ class FusedProver:
 
         self._packed_gather = jax.jit(packed)
 
+    # --------------------------------------------------------------- tables
+    def _build_table_specs(self):
+        """Every power table the pipeline needs, as (key, seed, length).
+        Tables are computed by host big-int arithmetic, packed into one
+        [L, total] array uploaded once, and passed to the program as a
+        PARAMETER — never baked into the executable as a literal (a single
+        [L, Ne] table is a multi-MB dense constant otherwise, which blows up
+        both XLA compile time and the executable shipped to the device)."""
+        context = self.context
+        f = self.field.host
+        T = context.trace_length
+        Ne = self.Ne
+        Nc = context.composition_domain_size
+        rou = context.root_of_unity
+        specs = [
+            ("w_T_inv", f.inv(f.get_root_of_unity(T)), max(1, T // 2)),
+            ("w_Ne", f.get_root_of_unity(Ne), Ne // 2),
+            ("w_Nc", f.get_root_of_unity(Nc), Nc // 2),
+            ("w_Nc_inv", f.inv(f.get_root_of_unity(Nc)), Nc // 2),
+            ("dom_fwd", rou, Ne),
+            ("dom_inv", f.inv(rou), Ne),
+        ]
+        incr = self.c_poly.composition_degree - T
+        if incr > 0:
+            specs.append(("incr", f.exp(rou, incr), Ne))
+        comp_rou = f.exp(rou, Ne // Nc)
+        for gi, group in enumerate(self.c_poly.constraint_groups):
+            if group["degree"] != self.c_poly.combination_degree:
+                inc = self.c_poly.combination_degree - group["degree"]
+                specs.append((f"adj{gi}", f.exp(comp_rou, inc), Nc))
+        for b, (register, c) in enumerate(self.c_poly.b_poly.polys.items()):
+            for j, root in enumerate(c["xs"]):
+                specs.append((f"bc{b}_{j}", root, T))
+                specs.append((f"bci{b}_{j}", f.inv(root), T))
+        return specs
+
+    def _get_pack(self) -> jnp.ndarray:
+        if self._pack_cache is None:
+            from ..field.limbs import power_series_mont_np
+            params = self.field.params
+            parts = [power_series_mont_np(params, seed, ln)
+                     for _, seed, ln in self._table_specs]
+            self._pack_cache = jnp.asarray(np.concatenate(parts, axis=1))
+        return self._pack_cache
+
+    def _slice_tables(self, tpack):
+        """Static slices of the packed parameter, keyed by spec name."""
+        out = {}
+        off = 0
+        L = self.field.device.L
+        for key, _, ln in self._table_specs:
+            out[key] = jax.lax.slice(tpack, (0, off), (L, off + ln))
+            off += ln
+        return out
+
     # ------------------------------------------------------------------ trace
-    def _pipeline(self, trace_std, statics_std, i_polys_std):
+    def _pipeline(self, trace_std, statics_std, i_polys_std, tpack):
         """trace_std: u32[R, L, T] standard limbs; statics_std: u32[K, L, T];
-        i_polys_std: u32[B, L, Tp] boundary interpolant coefficients.
+        i_polys_std: u32[B, L, Tp] boundary interpolant coefficients; tpack:
+        the [L, total] packed power tables (see _build_table_specs).
 
         Returns (trees_cat, e_std, vals_cat, roots, remainder_std):
           trees_cat  [sum tree rows, 8]  — e-tree then each FRI layer tree
@@ -147,19 +194,31 @@ class FusedProver:
         T = context.trace_length
         R = context.schema.trace_width
         elem = field.element_size
+        tb = self._slice_tables(tpack)
+
+        def intt_t(x):
+            out = ntt.ntt_core_table(field, x, T, tb["w_T_inv"])
+            n_inv = dev.const(f.inv(T % field.modulus), shape=(1,))
+            moved = jnp.moveaxis(out, -2, 0) if out.ndim > 2 else out
+            scaled = dev.mont_mul(moved, n_inv)
+            return jnp.moveaxis(scaled, 0, -2) if out.ndim > 2 else scaled
+
+        def lde(x, n, w_key):
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+            return ntt.ntt_core_table(field, jnp.pad(x, pad), n, tb[w_key])
 
         # ----- 3. P(x) polynomials + LDE -------------------------------------
         trace = _to_mont_batch(dev, trace_std)                  # [R, L, T]
-        p_polys = ntt.intt(field, trace)
-        p_evals = ntt.low_degree_extend(field, p_polys, Ne)    # [R, L, Ne]
+        p_polys = intt_t(trace)
+        p_evals = lde(p_polys, Ne, "w_Ne")                      # [R, L, Ne]
 
         # static registers: polynomials once, then per-domain evaluations
         K = statics_std.shape[0]
         if K:
             statics = _to_mont_batch(dev, statics_std)          # [K, L, T]
-            static_polys = ntt.intt(field, statics)
-            static_evals_nc = ntt.low_degree_extend(field, static_polys, Nc)
-            s_evals = [ntt.low_degree_extend(field, static_polys[k], Ne)
+            static_polys = intt_t(statics)
+            static_evals_nc = lde(static_polys, Nc, "w_Nc")
+            s_evals = [lde(static_polys[k], Ne, "w_Ne")
                        for k in self.secret_idx]
         else:
             static_evals_nc = jnp.zeros((0, dev.L, Nc), dtype=jnp.uint32)
@@ -185,24 +244,34 @@ class FusedProver:
 
         # ----- 5. composition polynomial --------------------------------------
         cf = Nc // T
-        p_evals_nc = ntt.low_degree_extend(field, p_polys, Nc)
+        p_evals_nc = lde(p_polys, Nc, "w_Nc")
         n_evals_nc = jnp.roll(p_evals_nc, -cf, axis=-1)
         q_evals = context.evaluate_transition_constraints_traced(
             p_evals_nc, n_evals_nc,
             [static_evals_nc[k] for k in range(K)])
         i_polys_mont = _to_mont_batch(dev, i_polys_std) if i_polys_std.shape[0] \
             else i_polys_std
+        c_tables = {
+            "domain": tb["dom_fwd"],
+            "nc_inv_w": tb["w_Nc_inv"],
+            "ne_fwd_w": tb["w_Ne"],
+            "incr": tb.get("incr"),
+            "adjust": {gi: tb[f"adj{gi}"]
+                       for gi, g in enumerate(self.c_poly.constraint_groups)
+                       if g["degree"] != self.c_poly.combination_degree},
+            "bdiv": [[(tb[f"bc{b}_{j}"], tb[f"bci{b}_{j}"])
+                      for j in range(len(c["xs"]))]
+                     for b, (r, c) in enumerate(self.c_poly.b_poly.polys.items())],
+        }
         c_evals = self.c_poly.evaluate_all(
             p_polys, p_evals, context, d_coeffs_mont=d_coeffs,
-            b_coeffs_mont=b_coeffs, b_ipolys_mont=i_polys_mont, q_evals=q_evals)
+            b_coeffs_mont=b_coeffs, b_ipolys_mont=i_polys_mont, q_evals=q_evals,
+            tables=c_tables)
 
         # ----- 6. linear combination ------------------------------------------
         ps = [p_evals[r] for r in range(R)] + list(s_evals)
         if self.l_comb.ps_incremental_degree > 0:
-            power_seed = f.exp(context.root_of_unity,
-                               self.l_comb.ps_incremental_degree)
-            ps_powers = dev.power_series(power_seed, Ne)
-            ps = ps + [dev.mont_mul(v, ps_powers) for v in ps]
+            ps = ps + [dev.mont_mul(v, tb["incr"]) for v in ps]
         l_evals = dev._add(c_evals, dev.combine_many_mont(ps, l_coeffs))
 
         # ----- 7. FRI chain ----------------------------------------------------
@@ -227,7 +296,8 @@ class FusedProver:
                 s = fs.prng_single_dev(field, cur_root)         # [L, 1]
                 s2 = dev.mont_mul(s, s)
                 values = fold_traced(field, context.root_of_unity, Ne, depth,
-                                     values, s, s2)
+                                     values, s, s2,
+                                     domain_tables=(tb["dom_fwd"], tb["dom_inv"]))
         remainder_std = layer_stds[-1]                          # [L, rem]
 
         trees_cat = jnp.concatenate(tree_flats, axis=0)
@@ -248,7 +318,7 @@ class FusedProver:
         i_polys_np = self.c_poly.b_poly.i_polys_std()
         trees_cat, e_std, vals_cat, roots_cat, remainder_dev = self._jit(
             jnp.asarray(trace_std), jnp.asarray(statics_np),
-            jnp.asarray(i_polys_np))
+            jnp.asarray(i_polys_np), self._get_pack())
 
         roots_np = np.asarray(roots_cat).astype("<u4")          # tiny sync
         root_bytes = [roots_np[i].tobytes() for i in range(roots_np.shape[0])]

@@ -138,10 +138,12 @@ class Stark:
     def _rebuild_fused(old, context, assertions):
         from .fused import FusedProver
         new = FusedProver(old.stark, context, assertions)
-        # same structure -> same programs: reuse the compiled jits so a new
-        # context/assertion-values never recompiles
+        # same structure -> same programs/tables: reuse the compiled jits and
+        # the device-resident table pack so a new context/assertion-values
+        # never recompiles or re-uploads
         new._jit = old._jit
         new._packed_gather = old._packed_gather
+        new._pack_cache = old._pack_cache
         return new
 
     def _validate_assertions_host(self, context, trace_std,
