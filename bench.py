@@ -27,7 +27,16 @@ if "xla_cpu_use_fusion_emitters" not in os.environ.get("XLA_FLAGS", ""):
 
 import jax
 
-BASELINE_SECONDS = 1.3   # README.md:211
+# reference MiMC-128 proof times by trace length (README.md:211-212)
+BASELINES = {2 ** 13: 1.3, 2 ** 17: 23.0}
+
+
+def _baseline(steps: int) -> float:
+    if steps in BASELINES:
+        return BASELINES[steps]
+    # README scaling is ~linear in steps between the two published points
+    return 1.3 * steps / 2 ** 13
+
 
 _state = {"best": None, "printed": False, "steps": 2 ** 13,
           "proof_kb": None, "security": None}
@@ -43,7 +52,7 @@ def _emit(note=None):
         "metric": f"mimc128_2^{steps.bit_length() - 1}_proof_time",
         "value": round(best, 4),
         "unit": "s",
-        "vs_baseline": round(BASELINE_SECONDS / best, 3),
+        "vs_baseline": round(_baseline(steps) / best, 3),
         "proof_kb": _state["proof_kb"],
         "security_level": _state["security"],
         "platform": jax.devices()[0].platform,
