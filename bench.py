@@ -67,9 +67,41 @@ def _on_term(signum, frame):
     sys.exit(0 if _state["printed"] else 1)
 
 
+def bench_ntt():
+    """North-star kernel metric (BASELINE.json): NTT butterflies/s/chip over
+    the 128-bit field.  BENCH_NTT_N sets the transform size (default 2^20)."""
+    import jax.numpy as jnp
+    from genstark_tpu import ntt
+    from genstark_tpu.field import P128, create_prime_field
+
+    n = int(os.environ.get("BENCH_NTT_N", 2 ** 20))
+    field = create_prime_field(P128)
+    x = field.device.from_ints([3] * n)
+    ntt.ntt(field, x).block_until_ready()          # compile
+    n_runs = int(os.environ.get("BENCH_RUNS", 5))
+    best = float("inf")
+    for _ in range(n_runs):
+        t0 = time.monotonic()
+        ntt.ntt(field, x).block_until_ready()
+        best = min(best, time.monotonic() - t0)
+    butterflies = (n // 2) * (n.bit_length() - 1)
+    print(json.dumps({
+        "metric": f"ntt128_2^{n.bit_length() - 1}_butterflies_per_s",
+        "value": round(butterflies / best),
+        "unit": "butterflies/s/chip",
+        "seconds": round(best, 4),
+        "vs_baseline": None,
+        "platform": jax.devices()[0].platform,
+    }), flush=True)
+
+
 def main():
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGINT, _on_term)
+
+    if os.environ.get("BENCH_MODE") == "ntt":
+        bench_ntt()
+        return
 
     steps = int(os.environ.get("BENCH_STEPS", 2 ** 13))
     _state["steps"] = steps

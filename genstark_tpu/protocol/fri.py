@@ -309,8 +309,12 @@ def fold_traced(field: PrimeField, root_of_unity: int, domain_size: int,
     inv_q = f.inv(q)
 
     M = N // 4
-    x_tab = jax.lax.slice(fwd, (0, 0), (dev.L, M * stride), (1, stride))
-    ix_tab = jax.lax.slice(inv, (0, 0), (dev.L, M * stride), (1, stride))
+    # every stride-th domain power, via gather: a strided lax.slice at large
+    # stride makes XLA:TPU stage the whole source region through scoped VMEM
+    # (OOMs at Ne = 2^21), a gather does not
+    pick = jax.lax.iota(jnp.int32, M) * jnp.int32(stride)
+    x_tab = jnp.take(fwd, pick, axis=1)
+    ix_tab = jnp.take(inv, pick, axis=1)
 
     c_q = dev.const(q, shape=(1,))
     c4 = dev.const(inv4, shape=(1,))
