@@ -47,7 +47,13 @@ def _tree_builder(algorithm: str, n: int):
 
 def build_tree_flat(h: "Hash", leaves: jnp.ndarray, n: int) -> jnp.ndarray:
     """Traceable all-levels tree build (fixed-window layout, see
-    _tree_builder).  Inlined by the fused prover (protocol/fused.py)."""
+    _tree_builder).  Inlined by the fused prover (protocol/fused.py).
+
+    Hybrid schedule: the top U levels (which hold ~94% of the hash work)
+    run unrolled at their true sizes; the remaining levels run as a
+    fori_loop over a fixed n/2^U-row window.  Total work ~1.5n compressions
+    (vs n for a fully size-exact build and depth*n/2 for a fully windowed
+    one) while the program stays ~U+1 compression bodies."""
     depth = n.bit_length() - 1
     half = n // 2
     if depth == 0:
@@ -55,14 +61,22 @@ def build_tree_flat(h: "Hash", leaves: jnp.ndarray, n: int) -> jnp.ndarray:
     out = jnp.zeros((n + depth * half, 8), dtype=jnp.uint32)
     out = jax.lax.dynamic_update_slice(out, leaves, (0, 0))
 
-    def body(k, carry):
-        out, cur = carry                      # cur: [n, 8]
-        digests = h.hash_pairs(cur)           # [n/2, 8] (prefix valid)
-        out = jax.lax.dynamic_update_slice(out, digests, (n + k * half, 0))
-        cur = jax.lax.dynamic_update_slice(cur, digests, (0, 0))
-        return out, cur
+    U = min(4, depth)
+    cur = leaves
+    for k in range(1, U + 1):
+        cur = h.hash_pairs(cur)               # [n/2^k, 8], exact size
+        out = jax.lax.dynamic_update_slice(out, cur, (n + (k - 1) * half, 0))
 
-    out, _ = jax.lax.fori_loop(0, depth, body, (out, leaves))
+    if depth > U:
+        def body(i, carry):                   # builds level U+1+i
+            out, cur = carry                  # cur: [n/2^U, 8] window
+            digests = h.hash_pairs(cur)       # [n/2^(U+1), 8] (prefix valid)
+            out = jax.lax.dynamic_update_slice(out, digests,
+                                               (n + (U + i) * half, 0))
+            cur = jax.lax.dynamic_update_slice(cur, digests, (0, 0))
+            return out, cur
+
+        out, _ = jax.lax.fori_loop(0, depth - U, body, (out, cur))
     return out
 
 

@@ -314,13 +314,20 @@ class FusedProver:
         Ne = self.Ne
         elem = field.element_size
 
+        import os
+        import time
+        timing = os.environ.get("GENSTARK_TIMING")
+        marks = [("start", time.monotonic())]
+
         statics_np = self._statics_std()
         i_polys_np = self.c_poly.b_poly.i_polys_std()
+        marks.append(("host prep", time.monotonic()))
         trees_cat, e_std, vals_cat, roots_cat, remainder_dev = self._jit(
             jnp.asarray(trace_std), jnp.asarray(statics_np),
             jnp.asarray(i_polys_np), self._get_pack())
 
         roots_np = np.asarray(roots_cat).astype("<u4")          # tiny sync
+        marks.append(("pipeline+roots sync", time.monotonic()))
         root_bytes = [roots_np[i].tobytes() for i in range(roots_np.shape[0])]
         e_root = root_bytes[0]
         layer_roots = root_bytes[1:]                            # lc + columns
@@ -391,9 +398,11 @@ class FusedProver:
         cols_pad[:len(val_idx)] = val_idx
         e_pad = np.zeros(capE, dtype=np.int32)
         e_pad[:len(e_idx)] = e_idx
+        marks.append(("host transcript+plans", time.monotonic()))
         packed = np.asarray(self._packed_gather(
             trees_cat, vals_cat, e_std, jnp.asarray(rows_pad),
             jnp.asarray(cols_pad), jnp.asarray(e_pad)))
+        marks.append(("packed gather+transfer", time.monotonic()))
         rows_sec = packed[:capR * 8].reshape(capR, 8).astype("<u4")
         cols_sec = packed[capR * 8:capR * 8 + L * capC].reshape(L, capC)
         evals_sec = packed[capR * 8 + L * capC:].reshape(V, L, capE)
@@ -448,6 +457,12 @@ class FusedProver:
 
         e_proof = proofs[e_plan]
         e_proof.values = e_values
+        if timing:
+            marks.append(("host assembly", time.monotonic()))
+            import sys
+            print("[fused prove] " + " | ".join(
+                f"{marks[i + 1][0]} {marks[i + 1][1] - marks[i][1]:.3f}s"
+                for i in range(len(marks) - 1)), file=sys.stderr, flush=True)
         return StarkProof(ev_root=e_root, ev_proof=e_proof, ld_proof=ld_proof,
                           i_shapes=context.input_shapes)
 
