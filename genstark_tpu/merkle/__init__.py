@@ -53,26 +53,30 @@ def build_tree_flat(h: "Hash", leaves: jnp.ndarray, n: int) -> jnp.ndarray:
     run unrolled at their true sizes; the remaining levels run as a
     fori_loop over a fixed n/2^U-row window.  Total work ~1.5n compressions
     (vs n for a fully size-exact build and depth*n/2 for a fully windowed
-    one) while the program stays ~U+1 compression bodies."""
+    one) while the program stays ~U+1 compression bodies, and the flat
+    layout is ~2n rows (the naive all-window layout is 13n+ at depth 24,
+    which alone would exceed HBM for a 2^24-point evaluation domain)."""
     depth = n.bit_length() - 1
-    half = n // 2
     if depth == 0:
         return leaves
-    out = jnp.zeros((n + depth * half, 8), dtype=jnp.uint32)
+    out = jnp.zeros((tree_row_count(n), 8), dtype=jnp.uint32)
     out = jax.lax.dynamic_update_slice(out, leaves, (0, 0))
 
-    U = min(4, depth)
+    U = min(_EXACT_LEVELS, depth)
     cur = leaves
     for k in range(1, U + 1):
         cur = h.hash_pairs(cur)               # [n/2^k, 8], exact size
-        out = jax.lax.dynamic_update_slice(out, cur, (n + (k - 1) * half, 0))
+        out = jax.lax.dynamic_update_slice(out, cur, (_level_offset(n, k), 0))
 
     if depth > U:
+        window = n >> (U + 1)
+        base = _level_offset(n, U + 1)
+
         def body(i, carry):                   # builds level U+1+i
             out, cur = carry                  # cur: [n/2^U, 8] window
             digests = h.hash_pairs(cur)       # [n/2^(U+1), 8] (prefix valid)
             out = jax.lax.dynamic_update_slice(out, digests,
-                                               (n + (U + i) * half, 0))
+                                               (base + i * window, 0))
             cur = jax.lax.dynamic_update_slice(cur, digests, (0, 0))
             return out, cur
 
@@ -80,14 +84,28 @@ def build_tree_flat(h: "Hash", leaves: jnp.ndarray, n: int) -> jnp.ndarray:
     return out
 
 
+_EXACT_LEVELS = 4    # levels built at exact size (the hybrid schedule's U)
+
+
+def _level_window(n: int, level: int) -> int:
+    """Row window reserved for `level` in the hybrid flat layout: exact size
+    for the top U levels, fixed n/2^(U+1) for the rest."""
+    U = min(_EXACT_LEVELS, n.bit_length() - 1)
+    return n >> level if level <= U else n >> (U + 1)
+
+
 def _level_offset(n: int, level: int) -> int:
-    """Row offset of `level` in the fixed-window flat layout."""
-    return 0 if level == 0 else n + (level - 1) * (n // 2)
+    """Row offset of `level` in the hybrid flat layout."""
+    U = min(_EXACT_LEVELS, n.bit_length() - 1)
+    exact = min(level, U + 1)
+    off = (2 * n - (n >> (exact - 1))) if exact else 0   # sum of n>>j, j<exact
+    return off + max(0, level - U - 1) * (n >> (U + 1))
 
 
 def tree_row_count(n: int) -> int:
-    """Total rows of the fixed-window flat layout for n leaves."""
-    return n + (n.bit_length() - 1) * (n // 2)
+    """Total rows of the hybrid flat layout for n leaves."""
+    depth = n.bit_length() - 1
+    return _level_offset(n, depth) + _level_window(n, depth)
 
 
 def plan_batch(positions: Sequence[int], depth: int):
