@@ -105,14 +105,14 @@ def ntt_core_table(field: PrimeField, a: jnp.ndarray, n: int,
     argument (the fused prover passes power tables as program parameters so
     they are never baked into executables as literals).
 
-    Runs log2(n) butterfly stages as a fori_loop whose body derives the
-    lo/hi/twiddle/shuffle index vectors from the stage counter `s`:
-
-        m = 2^s;  butterfly i pairs lo = (i>>s)<<(s+1) | (i & (m-1)),
-        hi = lo + m, twiddle = w^((i & (m-1)) << (S-1-s)).
-
-    The write-back is a single inverse shuffle: output position p takes
-    concat(new_lo, new_hi)[bit_s(p)*n/2 + ((p>>(s+1))<<s) + (p & (m-1))].
+    The log2(n) butterfly stages are unrolled with reshape-paired operands:
+    stage with half-size m views the data as [L, B, n/2m, 2, m] so every
+    butterfly is a large contiguous elementwise Montgomery op on the VPU.
+    (A fori_loop formulation with gather-derived lo/hi indexing compiles to
+    a far smaller program but runs ~100x slower — dynamic gathers along the
+    lane axis defeat TPU vectorization; measured 13.7M butterflies/s vs
+    >1B/s for this form.)  Per-stage twiddles are picked from the half-table
+    by reshape+slice (a strided slice at large stride OOMs scoped VMEM).
     """
     dev = field.device
     if n == 1:
@@ -124,30 +124,23 @@ def ntt_core_table(field: PrimeField, a: jnp.ndarray, n: int,
     x = a.reshape((-1, L, n)) if batch_shape else a[None]
     x = jnp.swapaxes(x, 0, 1)                                   # [L, B, n]
     x = jnp.take(x, _bitrev_indices(n), axis=-1)
+    B = x.shape[1]
 
     half = n // 2
-    i_half = jax.lax.iota(jnp.int32, half)
-    i_full = jax.lax.iota(jnp.int32, n)
-
-    def body(s, x):
-        m = jnp.int32(1) << s
-        jmask = m - 1
-        lo_idx = ((i_half >> s) << (s + 1)) | (i_half & jmask)
-        hi_idx = lo_idx + m
-        tw_idx = (i_half & jmask) << (S - 1 - s)
-        lo = jnp.take(x, lo_idx, axis=-1)                       # [L, B, n/2]
-        hi = jnp.take(x, hi_idx, axis=-1)
-        tw = jnp.take(w_table, tw_idx, axis=-1)[:, None, :]     # [L, 1, n/2]
-        t = dev.mont_mul(hi, tw)
+    m = 1
+    while m < n:
+        stride = half // m
+        # w_table[:, ::stride][:, :m] without a strided slice:
+        tw = w_table.reshape(L, m, stride)[:, :, 0]             # [L, m]
+        y = x.reshape(L, B, n // (2 * m), 2, m)
+        lo = y[:, :, :, 0, :]                                   # [L, B, g, m]
+        hi = y[:, :, :, 1, :]
+        t = dev.mont_mul(hi, tw[:, None, None, :])
         new_lo = dev._add(lo, t)
         new_hi = dev._sub(lo, t)
-        cat = jnp.concatenate([new_lo, new_hi], axis=-1)        # [L, B, n]
-        src = (((i_full >> s) & 1) * half
-               + ((i_full >> (s + 1)) << s)
-               + (i_full & jmask))
-        return jnp.take(cat, src, axis=-1)
+        x = jnp.stack([new_lo, new_hi], axis=-2).reshape(L, B, n)
+        m *= 2
 
-    x = jax.lax.fori_loop(0, S, body, x)
     x = jnp.swapaxes(x, 0, 1)                                   # [B, L, n]
     return x.reshape(batch_shape + (L, n)) if batch_shape else x[0]
 
