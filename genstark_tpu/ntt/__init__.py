@@ -81,6 +81,16 @@ def _jitted_transform(field: PrimeField, n: int, inverse: bool):
     return jax.jit(run)
 
 
+@lru_cache(maxsize=None)
+def _use_pallas() -> bool:
+    """Pallas butterfly kernels on real TPUs; pure-jnp elsewhere (CPU tests
+    run the same math without Mosaic).  GENSTARK_NO_PALLAS=1 disables."""
+    import os
+    if os.environ.get("GENSTARK_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def _bitrev_indices(n: int) -> jnp.ndarray:
     """Bit-reversal permutation of 0..n-1, computed on device from an iota
     (nothing host-built is uploaded)."""
@@ -127,18 +137,30 @@ def ntt_core_table(field: PrimeField, a: jnp.ndarray, n: int,
     B = x.shape[1]
 
     half = n // 2
+    use_pallas = _use_pallas()
     m = 1
     while m < n:
         stride = half // m
+        g = n // (2 * m)
         # w_table[:, ::stride][:, :m] without a strided slice:
         tw = w_table.reshape(L, m, stride)[:, :, 0]             # [L, m]
-        y = x.reshape(L, B, n // (2 * m), 2, m)
-        lo = y[:, :, :, 0, :]                                   # [L, B, g, m]
-        hi = y[:, :, :, 1, :]
-        t = dev.mont_mul(hi, tw[:, None, None, :])
-        new_lo = dev._add(lo, t)
-        new_hi = dev._sub(lo, t)
-        x = jnp.stack([new_lo, new_hi], axis=-2).reshape(L, B, n)
+        twf = jnp.broadcast_to(tw[:, None, :], (L, g, m)).reshape(L, half)
+        if use_pallas:
+            # whole butterfly (Montgomery mul + mod add/sub) in one VMEM
+            # pass — see pallas_kernels.butterfly_stage
+            from .pallas_kernels import butterfly_stage
+            x = butterfly_stage(field, x, twf, n, m)
+        else:
+            y = x.reshape(L, B, g, 2, m)
+            # flatten operands to [L, B, n/2] so the elementwise Montgomery
+            # ops always see a huge minor dimension
+            lo = y[:, :, :, 0, :].reshape(L, B, half)
+            hi = y[:, :, :, 1, :].reshape(L, B, half)
+            t = dev.mont_mul(hi, twf[:, None, :])
+            new_lo = dev._add(lo, t)
+            new_hi = dev._sub(lo, t)
+            x = jnp.stack([new_lo.reshape(L, B, g, m),
+                           new_hi.reshape(L, B, g, m)], axis=-2).reshape(L, B, n)
         m *= 2
 
     x = jnp.swapaxes(x, 0, 1)                                   # [B, L, n]

@@ -1,0 +1,40 @@
+"""Pallas butterfly-stage kernel vs the pure-jnp stage (interpret mode on
+CPU; the real Mosaic path runs on TPU via bench.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genstark_tpu.field import P32, P128, create_prime_field
+from genstark_tpu.ntt import get_plan
+from genstark_tpu.ntt.pallas_kernels import butterfly_stage
+
+
+@pytest.mark.parametrize("modulus", [P32, P128])
+@pytest.mark.parametrize("m", [1, 4, 64])
+def test_butterfly_stage_matches_jnp(modulus, m):
+    field = create_prime_field(modulus)
+    dev = field.device
+    f = field.host
+    n, B = 256, 2
+    rng = np.random.RandomState(3)
+    vals = [rng.randint(0, min(modulus, 2 ** 60)) for _ in range(B * n)]
+    x = dev.from_ints(vals).reshape(dev.L, B, n)
+
+    plan = get_plan(field, n, False)
+    L = dev.L
+    half, stride, g = n // 2, (n // 2) // m, n // (2 * m)
+    tw = plan.w_table.reshape(L, m, stride)[:, :, 0]
+    twf = jnp.broadcast_to(tw[:, None, :], (L, g, m)).reshape(L, half)
+
+    # jnp reference stage
+    y = x.reshape(L, B, g, 2, m)
+    lo = y[:, :, :, 0, :].reshape(L, B, half)
+    hi = y[:, :, :, 1, :].reshape(L, B, half)
+    t = dev.mont_mul(hi, twf[:, None, :])
+    ref = jnp.stack([dev._add(lo, t).reshape(L, B, g, m),
+                     dev._sub(lo, t).reshape(L, B, g, m)],
+                    axis=-2).reshape(L, B, n)
+
+    got = butterfly_stage(field, x, twf, n, m, interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
