@@ -148,7 +148,10 @@ def ntt_core_table(field: PrimeField, a: jnp.ndarray, n: int,
         if use_pallas:
             # whole butterfly (Montgomery mul + mod add/sub) in one VMEM
             # pass — see pallas_kernels.butterfly_stage
-            from .pallas_kernels import butterfly_stage
+            from .pallas_kernels import _SMALL_M, butterfly_stage
+            if m < _SMALL_M:        # roll variant wants interleaved twiddles
+                twf = jnp.broadcast_to(tw[:, None, None, :],
+                                       (L, g, 2, m)).reshape(L, n)
             x = butterfly_stage(field, x, twf, n, m)
         else:
             y = x.reshape(L, B, g, 2, m)

@@ -114,35 +114,62 @@ def _sub_mod(a, b, p_limbs):
     return [jnp.where(add_p, t2[j], t[j]) for j in range(L)]
 
 
+_SMALL_M = 256    # below this, lane-crossing reshapes break Mosaic: use rolls
+
+
 def _make_stage(L: int, p_limbs_bytes: bytes, n0p_int: int, n: int, B: int,
                 m: int, blk: int, interpret: bool):
     """Butterfly-stage pallas_call for one (field, n, B, m).  blk =
     butterflies per program instance; each program handles one contiguous
-    [L, 1, 2*blk] run (always whole 2m-groups since m | blk)."""
+    [L, 1, 2*blk] run (always whole 2m-groups since m | blk).
+
+    Two in-kernel strategies:
+    - m >= _SMALL_M: deinterleave lo/hi with a lane-aligned reshape
+      (sub-lane-crossing reshapes fail to compile in Mosaic below ~256).
+    - m < _SMALL_M: keep the data interleaved and pair via lane rolls:
+      t = x*w everywhere, out = is_hi ? roll(x,+m) - t : x + roll(t,-m).
+      Costs ~2x the arithmetic of the aligned path but stays in VMEM.
+    """
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     p_limbs = np.frombuffer(p_limbs_bytes, dtype=np.uint32)
     n0p = np.uint32(n0p_int)
     half = n // 2
+    small = m < _SMALL_M
 
     def kernel(x_ref, tw_ref, out_ref):
         xb = x_ref[...].reshape(L, 2 * blk)
-        twb = tw_ref[...]                                # [L, blk]
-        # blk is a multiple of m, so the run covers whole 2m-groups:
-        # deinterleave lo/hi with a static reshape
-        y = xb.reshape(L, (2 * blk) // (2 * m), 2, m)
-        lo = y[:, :, 0, :].reshape(L, blk)
-        hi = y[:, :, 1, :].reshape(L, blk)
-        t = _mont_mul_limbs([hi[i] for i in range(L)],
+        if not small:
+            twb = tw_ref[...]                            # [L, blk]
+            y = xb.reshape(L, (2 * blk) // (2 * m), 2, m)
+            lo = y[:, :, 0, :].reshape(L, blk)
+            hi = y[:, :, 1, :].reshape(L, blk)
+            t = _mont_mul_limbs([hi[i] for i in range(L)],
+                                [twb[i] for i in range(L)], p_limbs, n0p)
+            lo_l = [lo[i] for i in range(L)]
+            new_lo = _add_mod(lo_l, t, p_limbs)
+            new_hi = _sub_mod(lo_l, t, p_limbs)
+            y = jnp.stack([jnp.stack(new_lo).reshape(L, -1, m),
+                           jnp.stack(new_hi).reshape(L, -1, m)], axis=2)
+            out_ref[...] = y.reshape(L, 1, 2 * blk)
+            return
+        twb = tw_ref[...].reshape(L, 2 * blk)            # interleaved twiddles
+        t = _mont_mul_limbs([xb[i] for i in range(L)],
                             [twb[i] for i in range(L)], p_limbs, n0p)
-        lo_l = [lo[i] for i in range(L)]
-        new_lo = _add_mod(lo_l, t, p_limbs)
-        new_hi = _sub_mod(lo_l, t, p_limbs)
-        y = jnp.stack([jnp.stack(new_lo).reshape(L, -1, m),
-                       jnp.stack(new_hi).reshape(L, -1, m)], axis=2)
-        out_ref[...] = y.reshape(L, 1, 2 * blk)
+        t_arr = jnp.stack(t)                             # [L, 2*blk]
+        sl_t = pltpu.roll(t_arr, shift=2 * blk - m, axis=1)   # t[q+m] at q
+        sr_x = pltpu.roll(xb, shift=m, axis=1)           # x[q-m] at q
+        xs = [xb[i] for i in range(L)]
+        add_res = _add_mod(xs, [sl_t[i] for i in range(L)], p_limbs)
+        sub_res = _sub_mod([sr_x[i] for i in range(L)], t, p_limbs)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * blk), 1)
+        is_hi = ((lane >> int(m.bit_length() - 1)) & 1) == 1
+        out = jnp.where(is_hi, jnp.stack(sub_res), jnp.stack(add_res))
+        out_ref[...] = out.reshape(L, 1, 2 * blk)
 
     grid = (B, half // blk)
+    tw_cols = 2 * blk if small else blk
 
     def run(x, twf):
         return pl.pallas_call(
@@ -150,7 +177,7 @@ def _make_stage(L: int, p_limbs_bytes: bytes, n0p_int: int, n: int, B: int,
             out_shape=jax.ShapeDtypeStruct((L, B, n), jnp.uint32),
             grid=grid,
             in_specs=[pl.BlockSpec((L, 1, 2 * blk), lambda b, i: (0, b, i)),
-                      pl.BlockSpec((L, blk), lambda b, i: (0, i))],
+                      pl.BlockSpec((L, tw_cols), lambda b, i: (0, i))],
             out_specs=pl.BlockSpec((L, 1, 2 * blk), lambda b, i: (0, b, i)),
             interpret=interpret,
         )(x, twf)
@@ -166,10 +193,11 @@ def _stage_fn(L, p_limbs_bytes, n0p_int, n, B, m, blk, interpret):
 
 def butterfly_stage(field, x: jnp.ndarray, twf: jnp.ndarray, n: int, m: int,
                     interpret: bool = False) -> jnp.ndarray:
-    """One radix-2 stage.  x: uint32[L, B, n]; twf: uint32[L, n/2] twiddles
-    pre-broadcast in butterfly order (tw for butterfly i at column i).
-    Returns the same shape.  blk is a multiple of m so every block covers
-    whole 2m-groups."""
+    """One radix-2 stage.  x: uint32[L, B, n].  twf: for m >= _SMALL_M the
+    [L, n/2] twiddles in butterfly order (tw for butterfly i at column i);
+    for m < _SMALL_M the [L, n] INTERLEAVED twiddles (tw at every element's
+    own column, i.e. broadcast over both lo and hi slots).  Returns x's
+    shape.  blk is a multiple of m so every block covers whole 2m-groups."""
     L, B, _ = x.shape
     half = n // 2
     blk = min(half, max(m, 4096))

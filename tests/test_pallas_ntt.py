@@ -1,5 +1,6 @@
 """Pallas butterfly-stage kernel vs the pure-jnp stage (interpret mode on
-CPU; the real Mosaic path runs on TPU via bench.py)."""
+CPU; the real Mosaic path runs on TPU via bench.py).  Covers both in-kernel
+strategies: lane rolls (m < _SMALL_M) and aligned reshape (m >= _SMALL_M)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -7,16 +8,15 @@ import pytest
 
 from genstark_tpu.field import P32, P128, create_prime_field
 from genstark_tpu.ntt import get_plan
-from genstark_tpu.ntt.pallas_kernels import butterfly_stage
+from genstark_tpu.ntt.pallas_kernels import _SMALL_M, butterfly_stage
 
 
 @pytest.mark.parametrize("modulus", [P32, P128])
-@pytest.mark.parametrize("m", [1, 4, 64])
+@pytest.mark.parametrize("m", [1, 4, 64, 256])
 def test_butterfly_stage_matches_jnp(modulus, m):
     field = create_prime_field(modulus)
     dev = field.device
-    f = field.host
-    n, B = 256, 2
+    n, B = 1024, 2
     rng = np.random.RandomState(3)
     vals = [rng.randint(0, min(modulus, 2 ** 60)) for _ in range(B * n)]
     x = dev.from_ints(vals).reshape(dev.L, B, n)
@@ -36,5 +36,7 @@ def test_butterfly_stage_matches_jnp(modulus, m):
                      dev._sub(lo, t).reshape(L, B, g, m)],
                     axis=-2).reshape(L, B, n)
 
-    got = butterfly_stage(field, x, twf, n, m, interpret=True)
+    tw_in = twf if m >= _SMALL_M else \
+        jnp.broadcast_to(tw[:, None, None, :], (L, g, 2, m)).reshape(L, n)
+    got = butterfly_stage(field, x, tw_in, n, m, interpret=True)
     assert np.array_equal(np.asarray(got), np.asarray(ref))
