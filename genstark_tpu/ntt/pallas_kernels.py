@@ -191,16 +191,83 @@ def _stage_fn(L, p_limbs_bytes, n0p_int, n, B, m, blk, interpret):
                                interpret))
 
 
+_BLK = 4096      # butterflies per program
+
+
+def _make_stage_split(L: int, p_limbs_bytes: bytes, n0p_int: int, n: int,
+                      B: int, m: int, blk: int, interpret: bool):
+    """Large-m variant (m >= 2*blk would make whole-group blocks exceed
+    VMEM): the lo and hi runs are fetched as two block-aligned views of x
+    (m is a multiple of blk) and written to two half-size outputs that the
+    caller re-interleaves with one cheap XLA pass."""
+    from jax.experimental import pallas as pl
+
+    p_limbs = np.frombuffer(p_limbs_bytes, dtype=np.uint32)
+    n0p = np.uint32(n0p_int)
+    half = n // 2
+    mb = m // blk
+
+    def kernel(lo_ref, hi_ref, tw_ref, lo_out, hi_out):
+        lo = lo_ref[...].reshape(L, blk)
+        hi = hi_ref[...].reshape(L, blk)
+        twb = tw_ref[...]
+        t = _mont_mul_limbs([hi[i] for i in range(L)],
+                            [twb[i] for i in range(L)], p_limbs, n0p)
+        lo_l = [lo[i] for i in range(L)]
+        new_lo = jnp.stack(_add_mod(lo_l, t, p_limbs))
+        new_hi = jnp.stack(_sub_mod(lo_l, t, p_limbs))
+        lo_out[...] = new_lo.reshape(L, 1, blk)
+        hi_out[...] = new_hi.reshape(L, 1, blk)
+
+    def lo_index(b, i):
+        # butterfly block i starts at butterfly i*blk: group g = i*blk // m,
+        # j = i*blk % m; lo element start = g*2m + j (block-aligned)
+        g, jb = i // mb, i % mb
+        return (0, b, g * 2 * mb + jb)
+
+    def hi_index(b, i):
+        g, jb = i // mb, i % mb
+        return (0, b, g * 2 * mb + mb + jb)
+
+    def run(x, twf):
+        lo_out, hi_out = pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((L, B, half), jnp.uint32),
+                       jax.ShapeDtypeStruct((L, B, half), jnp.uint32)),
+            grid=(B, half // blk),
+            in_specs=[pl.BlockSpec((L, 1, blk), lo_index),
+                      pl.BlockSpec((L, 1, blk), hi_index),
+                      pl.BlockSpec((L, blk), lambda b, i: (0, i))],
+            out_specs=(pl.BlockSpec((L, 1, blk), lambda b, i: (0, b, i)),
+                       pl.BlockSpec((L, 1, blk), lambda b, i: (0, b, i))),
+            interpret=interpret,
+        )(x, x, twf)
+        g = half // m
+        y = jnp.stack([lo_out.reshape(L, B, g, m),
+                       hi_out.reshape(L, B, g, m)], axis=-2)
+        return y.reshape(L, B, n)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_fn_split(L, p_limbs_bytes, n0p_int, n, B, m, blk, interpret):
+    return jax.jit(_make_stage_split(L, p_limbs_bytes, n0p_int, n, B, m, blk,
+                                     interpret))
+
+
 def butterfly_stage(field, x: jnp.ndarray, twf: jnp.ndarray, n: int, m: int,
                     interpret: bool = False) -> jnp.ndarray:
     """One radix-2 stage.  x: uint32[L, B, n].  twf: for m >= _SMALL_M the
     [L, n/2] twiddles in butterfly order (tw for butterfly i at column i);
     for m < _SMALL_M the [L, n] INTERLEAVED twiddles (tw at every element's
     own column, i.e. broadcast over both lo and hi slots).  Returns x's
-    shape.  blk is a multiple of m so every block covers whole 2m-groups."""
+    shape."""
     L, B, _ = x.shape
     half = n // 2
-    blk = min(half, max(m, 4096))
-    fn = _stage_fn(L, field.device._p_np.tobytes(), int(field.device._n0p),
-                   n, B, m, blk, interpret)
+    args = (L, field.device._p_np.tobytes(), int(field.device._n0p), n, B, m)
+    if m > _BLK:
+        fn = _stage_fn_split(*args, _BLK, interpret)
+    else:
+        fn = _stage_fn(*args, min(half, max(m, _BLK)), interpret)
     return fn(x, twf)
