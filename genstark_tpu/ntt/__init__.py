@@ -138,22 +138,26 @@ def ntt_core_table(field: PrimeField, a: jnp.ndarray, n: int,
 
     half = n // 2
     use_pallas = _use_pallas()
+    if use_pallas:
+        from .pallas_kernels import _SMALL_M, butterfly_stage2
+        x2 = jnp.swapaxes(x, 0, 1).reshape(B * L, n)  # batch-major limb rows
     m = 1
     while m < n:
         stride = half // m
         g = n // (2 * m)
         # w_table[:, ::stride][:, :m] without a strided slice:
         tw = w_table.reshape(L, m, stride)[:, :, 0]             # [L, m]
-        twf = jnp.broadcast_to(tw[:, None, :], (L, g, m)).reshape(L, half)
         if use_pallas:
             # whole butterfly (Montgomery mul + mod add/sub) in one VMEM
-            # pass — see pallas_kernels.butterfly_stage
-            from .pallas_kernels import _SMALL_M, butterfly_stage
+            # pass — see pallas_kernels.butterfly_stage2
             if m < _SMALL_M:        # roll variant wants interleaved twiddles
                 twf = jnp.broadcast_to(tw[:, None, None, :],
                                        (L, g, 2, m)).reshape(L, n)
-            x = butterfly_stage(field, x, twf, n, m)
+            else:
+                twf = jnp.broadcast_to(tw[:, None, :], (L, g, m)).reshape(L, half)
+            x2 = butterfly_stage2(field, x2, twf, L, n, m)
         else:
+            twf = jnp.broadcast_to(tw[:, None, :], (L, g, m)).reshape(L, half)
             y = x.reshape(L, B, g, 2, m)
             # flatten operands to [L, B, n/2] so the elementwise Montgomery
             # ops always see a huge minor dimension
@@ -165,6 +169,8 @@ def ntt_core_table(field: PrimeField, a: jnp.ndarray, n: int,
             x = jnp.stack([new_lo.reshape(L, B, g, m),
                            new_hi.reshape(L, B, g, m)], axis=-2).reshape(L, B, n)
         m *= 2
+    if use_pallas:
+        x = jnp.swapaxes(x2.reshape(B, L, n), 0, 1)
 
     x = jnp.swapaxes(x, 0, 1)                                   # [B, L, n]
     return x.reshape(batch_shape + (L, n)) if batch_shape else x[0]

@@ -139,7 +139,7 @@ def _make_stage(L: int, p_limbs_bytes: bytes, n0p_int: int, n: int, B: int,
     small = m < _SMALL_M
 
     def kernel(x_ref, tw_ref, out_ref):
-        xb = x_ref[...].reshape(L, 2 * blk)
+        xb = x_ref[...]                                  # [L, 2*blk]
         if not small:
             twb = tw_ref[...]                            # [L, blk]
             y = xb.reshape(L, (2 * blk) // (2 * m), 2, m)
@@ -152,9 +152,9 @@ def _make_stage(L: int, p_limbs_bytes: bytes, n0p_int: int, n: int, B: int,
             new_hi = _sub_mod(lo_l, t, p_limbs)
             y = jnp.stack([jnp.stack(new_lo).reshape(L, -1, m),
                            jnp.stack(new_hi).reshape(L, -1, m)], axis=2)
-            out_ref[...] = y.reshape(L, 1, 2 * blk)
+            out_ref[...] = y.reshape(L, 2 * blk)
             return
-        twb = tw_ref[...].reshape(L, 2 * blk)            # interleaved twiddles
+        twb = tw_ref[...]                                # interleaved twiddles
         t = _mont_mul_limbs([xb[i] for i in range(L)],
                             [twb[i] for i in range(L)], p_limbs, n0p)
         t_arr = jnp.stack(t)                             # [L, 2*blk]
@@ -166,21 +166,23 @@ def _make_stage(L: int, p_limbs_bytes: bytes, n0p_int: int, n: int, B: int,
         lane = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * blk), 1)
         is_hi = ((lane >> int(m.bit_length() - 1)) & 1) == 1
         out = jnp.where(is_hi, jnp.stack(sub_res), jnp.stack(add_res))
-        out_ref[...] = out.reshape(L, 1, 2 * blk)
+        out_ref[...] = out
 
     grid = (B, half // blk)
     tw_cols = 2 * blk if small else blk
 
-    def run(x, twf):
+    def run(x2, twf):
+        # x2: [B*L, n] (batch-major limb stacking — 2D blocks keep Mosaic's
+        # (8, 128)-divisibility rules trivially satisfiable)
         return pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((L, B, n), jnp.uint32),
+            out_shape=jax.ShapeDtypeStruct((B * L, n), jnp.uint32),
             grid=grid,
-            in_specs=[pl.BlockSpec((L, 1, 2 * blk), lambda b, i: (0, b, i)),
+            in_specs=[pl.BlockSpec((L, 2 * blk), lambda b, i: (b, i)),
                       pl.BlockSpec((L, tw_cols), lambda b, i: (0, i))],
-            out_specs=pl.BlockSpec((L, 1, 2 * blk), lambda b, i: (0, b, i)),
+            out_specs=pl.BlockSpec((L, 2 * blk), lambda b, i: (b, i)),
             interpret=interpret,
-        )(x, twf)
+        )(x2, twf)
 
     return run
 
@@ -208,44 +210,42 @@ def _make_stage_split(L: int, p_limbs_bytes: bytes, n0p_int: int, n: int,
     mb = m // blk
 
     def kernel(lo_ref, hi_ref, tw_ref, lo_out, hi_out):
-        lo = lo_ref[...].reshape(L, blk)
-        hi = hi_ref[...].reshape(L, blk)
+        lo = lo_ref[...]                                 # [L, blk]
+        hi = hi_ref[...]
         twb = tw_ref[...]
         t = _mont_mul_limbs([hi[i] for i in range(L)],
                             [twb[i] for i in range(L)], p_limbs, n0p)
         lo_l = [lo[i] for i in range(L)]
-        new_lo = jnp.stack(_add_mod(lo_l, t, p_limbs))
-        new_hi = jnp.stack(_sub_mod(lo_l, t, p_limbs))
-        lo_out[...] = new_lo.reshape(L, 1, blk)
-        hi_out[...] = new_hi.reshape(L, 1, blk)
+        lo_out[...] = jnp.stack(_add_mod(lo_l, t, p_limbs))
+        hi_out[...] = jnp.stack(_sub_mod(lo_l, t, p_limbs))
 
     def lo_index(b, i):
         # butterfly block i starts at butterfly i*blk: group g = i*blk // m,
         # j = i*blk % m; lo element start = g*2m + j (block-aligned)
         g, jb = i // mb, i % mb
-        return (0, b, g * 2 * mb + jb)
+        return (b, g * 2 * mb + jb)
 
     def hi_index(b, i):
         g, jb = i // mb, i % mb
-        return (0, b, g * 2 * mb + mb + jb)
+        return (b, g * 2 * mb + mb + jb)
 
-    def run(x, twf):
+    def run(x2, twf):
         lo_out, hi_out = pl.pallas_call(
             kernel,
-            out_shape=(jax.ShapeDtypeStruct((L, B, half), jnp.uint32),
-                       jax.ShapeDtypeStruct((L, B, half), jnp.uint32)),
+            out_shape=(jax.ShapeDtypeStruct((B * L, half), jnp.uint32),
+                       jax.ShapeDtypeStruct((B * L, half), jnp.uint32)),
             grid=(B, half // blk),
-            in_specs=[pl.BlockSpec((L, 1, blk), lo_index),
-                      pl.BlockSpec((L, 1, blk), hi_index),
+            in_specs=[pl.BlockSpec((L, blk), lo_index),
+                      pl.BlockSpec((L, blk), hi_index),
                       pl.BlockSpec((L, blk), lambda b, i: (0, i))],
-            out_specs=(pl.BlockSpec((L, 1, blk), lambda b, i: (0, b, i)),
-                       pl.BlockSpec((L, 1, blk), lambda b, i: (0, b, i))),
+            out_specs=(pl.BlockSpec((L, blk), lambda b, i: (b, i)),
+                       pl.BlockSpec((L, blk), lambda b, i: (b, i))),
             interpret=interpret,
-        )(x, x, twf)
+        )(x2, x2, twf)
         g = half // m
-        y = jnp.stack([lo_out.reshape(L, B, g, m),
-                       hi_out.reshape(L, B, g, m)], axis=-2)
-        return y.reshape(L, B, n)
+        y = jnp.stack([lo_out.reshape(B * L, g, m),
+                       hi_out.reshape(B * L, g, m)], axis=-2)
+        return y.reshape(B * L, n)
 
     return run
 
@@ -256,18 +256,27 @@ def _stage_fn_split(L, p_limbs_bytes, n0p_int, n, B, m, blk, interpret):
                                      interpret))
 
 
-def butterfly_stage(field, x: jnp.ndarray, twf: jnp.ndarray, n: int, m: int,
-                    interpret: bool = False) -> jnp.ndarray:
-    """One radix-2 stage.  x: uint32[L, B, n].  twf: for m >= _SMALL_M the
-    [L, n/2] twiddles in butterfly order (tw for butterfly i at column i);
-    for m < _SMALL_M the [L, n] INTERLEAVED twiddles (tw at every element's
-    own column, i.e. broadcast over both lo and hi slots).  Returns x's
-    shape."""
-    L, B, _ = x.shape
+def butterfly_stage2(field, x2: jnp.ndarray, twf: jnp.ndarray, L: int,
+                     n: int, m: int, interpret: bool = False) -> jnp.ndarray:
+    """One radix-2 stage on batch-major limb rows x2: uint32[B*L, n] (row
+    b*L+i is limb i of batch element b — the layout ntt_core_table keeps for
+    the whole transform).  twf: for m >= _SMALL_M the [L, n/2] twiddles in
+    butterfly order (tw for butterfly i at column i); for m < _SMALL_M the
+    [L, n] INTERLEAVED twiddles (broadcast over both lo and hi slots)."""
+    B = x2.shape[0] // L
     half = n // 2
     args = (L, field.device._p_np.tobytes(), int(field.device._n0p), n, B, m)
     if m > _BLK:
         fn = _stage_fn_split(*args, _BLK, interpret)
     else:
         fn = _stage_fn(*args, min(half, max(m, _BLK)), interpret)
-    return fn(x, twf)
+    return fn(x2, twf)
+
+
+def butterfly_stage(field, x: jnp.ndarray, twf: jnp.ndarray, n: int, m: int,
+                    interpret: bool = False) -> jnp.ndarray:
+    """[L, B, n] wrapper over butterfly_stage2 (used by tests)."""
+    L, B, _ = x.shape
+    x2 = jnp.swapaxes(x, 0, 1).reshape(B * L, n)
+    out = butterfly_stage2(field, x2, twf, L, n, m, interpret)
+    return jnp.swapaxes(out.reshape(B, L, n), 0, 1)
