@@ -68,5 +68,6 @@ def test_split_stage_matches_jnp(modulus):
 
     fn = _stage_fn_split(L, dev._p_np.tobytes(), int(dev._n0p), n, B, m, blk,
                          True)
-    got = fn(x, twf)
+    x2 = jnp.swapaxes(x, 0, 1).reshape(B * L, n)
+    got = jnp.swapaxes(fn(x2, twf).reshape(B, L, n), 0, 1)
     assert np.array_equal(np.asarray(got), np.asarray(ref))
