@@ -137,40 +137,41 @@ def ntt_core_table(field: PrimeField, a: jnp.ndarray, n: int,
     B = x.shape[1]
 
     half = n // 2
-    use_pallas = _use_pallas()
-    if use_pallas:
-        from .pallas_kernels import _SMALL_M, butterfly_stage2
+    if _use_pallas():
+        # pallas path: all stages with m <= _MBLK in one multi-stage VMEM
+        # kernel, the remaining large-m stages as split-operand kernels
+        from .pallas_kernels import butterfly_stage2, multistage
         x2 = jnp.swapaxes(x, 0, 1).reshape(B * L, n)  # batch-major limb rows
+        x2, last_m = multistage(field, x2, w_table, L, n)
+        m = last_m * 2
+        while m < n:
+            stride = half // m
+            g = n // (2 * m)
+            tw = w_table.reshape(L, m, stride)[:, :, 0]
+            twf = jnp.broadcast_to(tw[:, None, :], (L, g, m)).reshape(L, half)
+            x2 = butterfly_stage2(field, x2, twf, L, n, m)
+            m *= 2
+        x = x2.reshape(B, L, n)                                 # [B, L, n]
+        return x.reshape(batch_shape + (L, n)) if batch_shape else x[0]
+
     m = 1
     while m < n:
         stride = half // m
         g = n // (2 * m)
         # w_table[:, ::stride][:, :m] without a strided slice:
         tw = w_table.reshape(L, m, stride)[:, :, 0]             # [L, m]
-        if use_pallas:
-            # whole butterfly (Montgomery mul + mod add/sub) in one VMEM
-            # pass — see pallas_kernels.butterfly_stage2
-            if m < _SMALL_M:        # roll variant wants interleaved twiddles
-                twf = jnp.broadcast_to(tw[:, None, None, :],
-                                       (L, g, 2, m)).reshape(L, n)
-            else:
-                twf = jnp.broadcast_to(tw[:, None, :], (L, g, m)).reshape(L, half)
-            x2 = butterfly_stage2(field, x2, twf, L, n, m)
-        else:
-            twf = jnp.broadcast_to(tw[:, None, :], (L, g, m)).reshape(L, half)
-            y = x.reshape(L, B, g, 2, m)
-            # flatten operands to [L, B, n/2] so the elementwise Montgomery
-            # ops always see a huge minor dimension
-            lo = y[:, :, :, 0, :].reshape(L, B, half)
-            hi = y[:, :, :, 1, :].reshape(L, B, half)
-            t = dev.mont_mul(hi, twf[:, None, :])
-            new_lo = dev._add(lo, t)
-            new_hi = dev._sub(lo, t)
-            x = jnp.stack([new_lo.reshape(L, B, g, m),
-                           new_hi.reshape(L, B, g, m)], axis=-2).reshape(L, B, n)
+        twf = jnp.broadcast_to(tw[:, None, :], (L, g, m)).reshape(L, half)
+        y = x.reshape(L, B, g, 2, m)
+        # flatten operands to [L, B, n/2] so the elementwise Montgomery
+        # ops always see a huge minor dimension
+        lo = y[:, :, :, 0, :].reshape(L, B, half)
+        hi = y[:, :, :, 1, :].reshape(L, B, half)
+        t = dev.mont_mul(hi, twf[:, None, :])
+        new_lo = dev._add(lo, t)
+        new_hi = dev._sub(lo, t)
+        x = jnp.stack([new_lo.reshape(L, B, g, m),
+                       new_hi.reshape(L, B, g, m)], axis=-2).reshape(L, B, n)
         m *= 2
-    if use_pallas:
-        x = jnp.swapaxes(x2.reshape(B, L, n), 0, 1)
 
     x = jnp.swapaxes(x, 0, 1)                                   # [B, L, n]
     return x.reshape(batch_shape + (L, n)) if batch_shape else x[0]

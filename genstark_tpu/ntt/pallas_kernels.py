@@ -193,7 +193,112 @@ def _stage_fn(L, p_limbs_bytes, n0p_int, n, B, m, blk, interpret):
                                interpret))
 
 
-_BLK = 4096      # butterflies per program
+_BLK = 4096      # butterflies per program (single-stage kernels)
+_MBLK = 16384    # butterflies per program (multi-stage kernel)
+
+
+def _make_multistage(L: int, p_limbs_bytes: bytes, n0p_int: int, n: int,
+                     B: int, blk: int, interpret: bool):
+    """ALL stages with m <= blk in ONE kernel: the [L, 2*blk] block stays in
+    VMEM across the whole stage sequence (one HBM read + one write for
+    log2(2*blk) stages, and one Mosaic compile instead of one per stage —
+    per-program compile round-trips dominate warmup on this backend).
+
+    Twiddles arrive as lane-concatenated per-stage panels: stage m uses a
+    period-(2m) interleaved panel for the roll path (m < _SMALL_M) or a
+    period-m butterfly-order panel for the aligned path, tiled to block
+    width in-kernel (lane concat — no shuffles)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p_limbs = np.frombuffer(p_limbs_bytes, dtype=np.uint32)
+    n0p = np.uint32(n0p_int)
+    half = n // 2
+    stage_ms = []
+    m = 1
+    while m < n and m <= blk:
+        stage_ms.append(m)
+        m *= 2
+    # panel layout: per stage, [L, 2m] (roll) or [L, m] (aligned)
+    panel_cols = [2 * m if m < _SMALL_M else m for m in stage_ms]
+    panel_offs = np.cumsum([0] + panel_cols)
+
+    def kernel(x_ref, tw_ref, out_ref):
+        x = x_ref[...]                                   # [L, 2*blk]
+        for si, m in enumerate(stage_ms):
+            off, cols = int(panel_offs[si]), panel_cols[si]
+            panel = tw_ref[:, off:off + cols]
+            if m < _SMALL_M:
+                twe = jnp.tile(panel, (1, (2 * blk) // (2 * m)))
+                t = _mont_mul_limbs([x[i] for i in range(L)],
+                                    [twe[i] for i in range(L)], p_limbs, n0p)
+                t_arr = jnp.stack(t)
+                sl_t = pltpu.roll(t_arr, shift=2 * blk - m, axis=1)
+                sr_x = pltpu.roll(x, shift=m, axis=1)
+                xs = [x[i] for i in range(L)]
+                add_res = _add_mod(xs, [sl_t[i] for i in range(L)], p_limbs)
+                sub_res = _sub_mod([sr_x[i] for i in range(L)], t, p_limbs)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * blk), 1)
+                is_hi = ((lane >> int(m.bit_length() - 1)) & 1) == 1
+                x = jnp.where(is_hi, jnp.stack(sub_res), jnp.stack(add_res))
+            else:
+                y = x.reshape(L, (2 * blk) // (2 * m), 2, m)
+                lo = y[:, :, 0, :].reshape(L, blk)
+                hi = y[:, :, 1, :].reshape(L, blk)
+                twf = jnp.tile(panel, (1, blk // m))
+                t = _mont_mul_limbs([hi[i] for i in range(L)],
+                                    [twf[i] for i in range(L)], p_limbs, n0p)
+                lo_l = [lo[i] for i in range(L)]
+                new_lo = _add_mod(lo_l, t, p_limbs)
+                new_hi = _sub_mod(lo_l, t, p_limbs)
+                x = jnp.stack([jnp.stack(new_lo).reshape(L, -1, m),
+                               jnp.stack(new_hi).reshape(L, -1, m)],
+                              axis=2).reshape(L, 2 * blk)
+        out_ref[...] = x
+
+    total_cols = int(panel_offs[-1])
+
+    def run(x2, tw_panels):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B * L, n), jnp.uint32),
+            grid=(B, half // blk),
+            in_specs=[pl.BlockSpec((L, 2 * blk), lambda b, i: (b, i)),
+                      pl.BlockSpec((L, total_cols), lambda b, i: (0, 0))],
+            out_specs=pl.BlockSpec((L, 2 * blk), lambda b, i: (b, i)),
+            interpret=interpret,
+        )(x2, tw_panels)
+
+    return run, stage_ms, panel_cols
+
+
+@functools.lru_cache(maxsize=None)
+def _multistage_fn(L, p_limbs_bytes, n0p_int, n, B, blk, interpret):
+    run, stage_ms, panel_cols = _make_multistage(
+        L, p_limbs_bytes, n0p_int, n, B, blk, interpret)
+    return jax.jit(run), stage_ms, panel_cols
+
+
+def multistage(field, x2: jnp.ndarray, w_table: jnp.ndarray, L: int, n: int,
+               interpret: bool = False):
+    """Run all stages with m <= blk in one kernel.  x2: [B*L, n] batch-major
+    limb rows; w_table: [L, n/2].  Returns (x2', last_m_done)."""
+    B = x2.shape[0] // L
+    half = n // 2
+    blk = min(half, _MBLK)
+    fn, stage_ms, panel_cols = _multistage_fn(
+        L, field.device._p_np.tobytes(), int(field.device._n0p), n, B, blk,
+        interpret)
+    panels = []
+    for m in stage_ms:
+        stride = half // m
+        tw = w_table.reshape(L, m, stride)[:, :, 0]      # [L, m]
+        if m < _SMALL_M:
+            panels.append(jnp.concatenate([tw, tw], axis=1))   # period 2m
+        else:
+            panels.append(tw)
+    tw_panels = jnp.concatenate(panels, axis=1)
+    return fn(x2, tw_panels), stage_ms[-1]
 
 
 def _make_stage_split(L: int, p_limbs_bytes: bytes, n0p_int: int, n: int,
