@@ -56,7 +56,6 @@ def _compress(h, m, t, last):
     if last:
         v = v.at[..., 14].set(v[..., 14] ^ jnp.uint32(0xFFFFFFFF))
 
-    sigma = jnp.asarray(np.array(_SIGMA, dtype=np.int32))        # [10, 16]
     # static G wiring: column step then diagonal step
     A = np.array([0, 1, 2, 3, 0, 1, 2, 3])
     B = np.array([4, 5, 6, 7, 5, 6, 7, 4])
@@ -74,32 +73,44 @@ def _compress(h, m, t, last):
         b = _rotr(b ^ c, 7)
         return a, b, c, d
 
-    def round_body(r, v):
-        ms = jnp.take(m, sigma[r], axis=-1)                      # [..., 16]
-        # column mixing (4 independent Gs), then diagonal mixing (4 more);
-        # v is rebuilt by a static-permutation stack each half (scatter-free)
-        for half in range(2):
-            ia, ib, ic, id_ = (A[4 * half:4 * half + 4], B[4 * half:4 * half + 4],
-                               C[4 * half:4 * half + 4], D[4 * half:4 * half + 4])
-            a, b, c, d = (jnp.take(v, jnp.asarray(ia), axis=-1),
-                          jnp.take(v, jnp.asarray(ib), axis=-1),
-                          jnp.take(v, jnp.asarray(ic), axis=-1),
-                          jnp.take(v, jnp.asarray(id_), axis=-1))
-            x = ms[..., 8 * half + 0::2][..., :4]
-            y = ms[..., 8 * half + 1::2][..., :4]
-            a, b, c, d = G(a, b, c, d, x, y)
-            # lane -> (source array, source column), statically known
-            src = {}
-            for k in range(4):
-                src[int(ia[k])] = (a, k)
-                src[int(ib[k])] = (b, k)
-                src[int(ic[k])] = (c, k)
-                src[int(id_[k])] = (d, k)
-            v = jnp.stack([src[lane][0][..., src[lane][1]] for lane in range(16)],
-                          axis=-1)
-        return v
+    def _pick(arr, idxs):
+        # static column picks (slices) — dynamic lane gathers run ~100x
+        # slower than slices on TPU
+        return jnp.stack([arr[..., int(j)] for j in idxs], axis=-1)
 
-    v = jax.lax.fori_loop(0, 10, round_body, v)
+    def make_round(s):
+        def round_fn(vm):
+            v, m = vm
+            ms = _pick(m, s)                                     # [..., 16]
+            for half in range(2):
+                ia, ib = A[4 * half:4 * half + 4], B[4 * half:4 * half + 4]
+                ic, id_ = C[4 * half:4 * half + 4], D[4 * half:4 * half + 4]
+                a, b, c, d = (_pick(v, ia), _pick(v, ib),
+                              _pick(v, ic), _pick(v, id_))
+                x = ms[..., 8 * half + 0::2][..., :4]
+                y = ms[..., 8 * half + 1::2][..., :4]
+                a, b, c, d = G(a, b, c, d, x, y)
+                src = {}
+                for k in range(4):
+                    src[int(ia[k])] = (a, k)
+                    src[int(ib[k])] = (b, k)
+                    src[int(ic[k])] = (c, k)
+                    src[int(id_[k])] = (d, k)
+                v = jnp.stack([src[lane][0][..., src[lane][1]]
+                               for lane in range(16)], axis=-1)
+            return v, m
+
+        return round_fn
+
+    rounds = [make_round(s) for s in _SIGMA]
+
+    def round_body(r, vm):
+        # one compiled branch per round: sigma is applied as STATIC column
+        # picks inside each branch (a per-round dynamic sigma gather would
+        # be a lane gather — the slow path on TPU)
+        return jax.lax.switch(r, rounds, vm)
+
+    v, _ = jax.lax.fori_loop(0, 10, round_body, (v, m))
     return h ^ v[..., :8] ^ v[..., 8:]
 
 

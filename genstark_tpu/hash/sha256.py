@@ -52,48 +52,43 @@ def byteswap32(x):
 def _compress(state, block):
     """state: [..., 8], block: [..., 16] BE words.
 
-    The 64 rounds run as a `fori_loop` with a rolling 16-word message
-    schedule rather than a full unroll: on the tunnelled-TPU backend the
-    dominant one-time cost is per-program executable size (compile +
-    transfer), so compression bodies must stay small — this kernel is
-    inlined into every Merkle tree level loop (see merkle._tree_builder).
+    The 64 rounds run as a `fori_loop` over 4 blocks of 16 statically
+    indexed rounds: the loop keeps the compiled body small (per-program
+    size is the dominant one-time cost on the tunnelled-TPU backend — this
+    kernel is inlined into every Merkle tree level loop), while the static
+    in-block lane indexing avoids dynamic lane gathers (the slow path on
+    TPU; the schedule window rotates fully every 16 rounds, so indices are
+    compile-time constants inside the block).
     """
-    k_tab = jnp.asarray(_K)
+    k_rows = jnp.asarray(_K.reshape(4, 16))
 
-    def round_body(t, carry):
-        v, w = carry                                # v: [..., 8], w: [..., 16]
-        tm = t % 16
-        # schedule word for round t (rounds 0-15 use the block as-is)
-        w1 = jnp.take(w, (tm + 1) % 16, axis=-1)
-        w9 = jnp.take(w, (tm + 9) % 16, axis=-1)
-        w14 = jnp.take(w, (tm + 14) % 16, axis=-1)
-        w0 = jnp.take(w, tm, axis=-1)
-        s0 = _rotr(w1, 7) ^ _rotr(w1, 18) ^ (w1 >> np.uint32(3))
-        s1 = _rotr(w14, 17) ^ _rotr(w14, 19) ^ (w14 >> np.uint32(10))
-        wt_new = w0 + s0 + w9 + s1
-        wt = jnp.where(t < 16, w0, wt_new)
-        w = _set_lane(w, tm, wt)
+    def block16(o, carry):
+        v, w = carry                            # v: [..., 8], w: [..., 16]
+        krow = jax.lax.dynamic_index_in_dim(k_rows, o, axis=0, keepdims=False)
+        cols = [w[..., j] for j in range(16)]
+        for j in range(16):
+            w1 = cols[(j + 1) % 16]
+            w9 = cols[(j + 9) % 16]
+            w14 = cols[(j + 14) % 16]
+            w0 = cols[j]
+            s0 = _rotr(w1, 7) ^ _rotr(w1, 18) ^ (w1 >> np.uint32(3))
+            s1 = _rotr(w14, 17) ^ _rotr(w14, 19) ^ (w14 >> np.uint32(10))
+            wt = jnp.where(o == 0, w0, w0 + s0 + w9 + s1)
+            cols[j] = wt
 
-        a, b, c, d, e, f, g, h = [v[..., i] for i in range(8)]
-        S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
-        ch = (e & f) ^ (~e & g)
-        t1 = h + S1 + ch + jnp.take(k_tab, t) + wt
-        S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
-        maj = (a & b) ^ (a & c) ^ (b & c)
-        t2 = S0 + maj
-        v = jnp.stack([t1 + t2, a, b, c, d + t1, e, f, g], axis=-1)
-        return v, w
+            a, b, c, d, e, f, g, h = [v[..., i] for i in range(8)]
+            S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+            ch = (e & f) ^ (~e & g)
+            t1 = h + S1 + ch + krow[j] + wt
+            S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+            maj = (a & b) ^ (a & c) ^ (b & c)
+            v = jnp.stack([t1 + S0 + maj, a, b, c, d + t1, e, f, g], axis=-1)
+        return v, jnp.stack(cols, axis=-1)
 
-    v, _ = jax.lax.fori_loop(0, 64, round_body, (state, block))
+    v, _ = jax.lax.fori_loop(0, 4, block16, (state, block))
     return state + v
 
 
-def _set_lane(arr, idx, val):
-    """arr[..., idx] = val with a traced idx (one-hot select — cheap on VPU,
-    avoids scatter)."""
-    lanes = arr.shape[-1]
-    onehot = jax.lax.broadcasted_iota(jnp.int32, (lanes,), 0) == idx
-    return jnp.where(onehot, val[..., None], arr)
 
 
 def digest_rows_le(words_le: jnp.ndarray, msg_bytes: int) -> jnp.ndarray:

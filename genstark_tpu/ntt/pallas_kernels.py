@@ -194,7 +194,11 @@ def _stage_fn(L, p_limbs_bytes, n0p_int, n, B, m, blk, interpret):
 
 
 _BLK = 4096      # butterflies per program (single-stage kernels)
-_MBLK = 16384    # butterflies per program (multi-stage kernel)
+# butterflies per program in the multi-stage kernel: Mosaic allocates kernel
+# stack without reusing across the sequential stages (~3.5 block-sizes per
+# stage), so the block must stay small enough that ~12 stages of
+# temporaries fit the 16MB VMEM
+_MBLK = 2048
 
 
 def _make_multistage(L: int, p_limbs_bytes: bytes, n0p_int: int, n: int,
