@@ -79,8 +79,10 @@ def _compress(h, m, t, last):
         return jnp.stack([arr[..., int(j)] for j in idxs], axis=-1)
 
     def make_round(s):
-        def round_fn(vm):
-            v, m = vm
+        # closes over `m` (never enters the loop carry: carrying it through
+        # fori_loop breaks under shard_map — the switch output comes back
+        # shard-varying while the input carry is unvarying)
+        def round_fn(v):
             ms = _pick(m, s)                                     # [..., 16]
             for half in range(2):
                 ia, ib = A[4 * half:4 * half + 4], B[4 * half:4 * half + 4]
@@ -98,19 +100,25 @@ def _compress(h, m, t, last):
                     src[int(id_[k])] = (d, k)
                 v = jnp.stack([src[lane][0][..., src[lane][1]]
                                for lane in range(16)], axis=-1)
-            return v, m
+            return v
 
         return round_fn
 
     rounds = [make_round(s) for s in _SIGMA]
 
-    def round_body(r, vm):
+    def round_body(r, v):
         # one compiled branch per round: sigma is applied as STATIC column
         # picks inside each branch (a per-round dynamic sigma gather would
         # be a lane gather — the slow path on TPU)
-        return jax.lax.switch(r, rounds, vm)
+        return jax.lax.switch(r, rounds, v)
 
-    v, _ = jax.lax.fori_loop(0, 10, round_body, (v, m))
+    # Under shard_map the initial v is built purely from constants (IV), so
+    # its varying-manual-axes type is "unvarying", while the loop body mixes
+    # in the shard-varying message m — the fori_loop carry types would then
+    # mismatch.  XOR with (m & 0) is free after XLA folding but gives v the
+    # same varying type as m, without needing the mesh axis names here.
+    v = v ^ (m & jnp.uint32(0))
+    v = jax.lax.fori_loop(0, 10, round_body, v)
     return h ^ v[..., :8] ^ v[..., 8:]
 
 

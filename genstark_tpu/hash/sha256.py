@@ -85,6 +85,11 @@ def _compress(state, block):
             v = jnp.stack([t1 + S0 + maj, a, b, c, d + t1, e, f, g], axis=-1)
         return v, jnp.stack(cols, axis=-1)
 
+    # Same shard_map varying-manual-axes fix as blake2s._compress: the first
+    # call's state is a pure-constant broadcast (H0) — unvarying — while the
+    # loop output mixes in the shard-varying block.  (block & 0) is folded
+    # away by XLA but gives state the same varying type as block.
+    state = state ^ (block[..., :8] & jnp.uint32(0))
     v, _ = jax.lax.fori_loop(0, 4, block16, (state, block))
     return state + v
 
