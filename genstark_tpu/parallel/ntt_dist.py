@@ -33,6 +33,10 @@ from ..field import PrimeField
 def _vector_power_series(dev, base: jnp.ndarray, length: int) -> jnp.ndarray:
     """Powers 0..length-1 of a vector of bases: [L, B] -> [L, length, B]."""
     one = jnp.broadcast_to(dev.one((1, 1)), (dev.L, 1, base.shape[-1]))
+    # tie the constant's varying-manual-axes type to `base` so concatenation
+    # with base-derived values is well typed under shard_map (same pattern
+    # as hash/blake2s._compress; the mask folds away in XLA)
+    one = one ^ (base[:, None, :] & jnp.uint32(0))
     out = one                                    # powers 0..cur-1
     power = base[:, None, :]                     # base^cur
     cur = 1
@@ -108,6 +112,79 @@ def _dist_ntt_fn(field: PrimeField, n: int, n_devices: int, inverse: bool,
         return out
 
     return jax.jit(run)
+
+
+def can_distribute(n: int, n_devices: int) -> bool:
+    """True when the 4-step split of an n-point transform fits the mesh
+    (both sub-transform axes must be >= the device count so the all-to-all
+    resharding is well formed)."""
+    if n < 4:
+        return False
+    n1 = 1 << ((n.bit_length() - 1) // 2)
+    n2 = n // n1
+    return n1 >= n_devices and n2 >= n_devices
+
+
+def dist_ntt_core(field: PrimeField, a: jnp.ndarray, n: int,
+                  w_table: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """Traceable 4-step NTT over `mesh` — natural order in and out.
+
+    a: [..., L, n] Montgomery-form values; w_table: [L, n/2] half-table of
+    the transform root's powers (MAY be a traced argument — the fused prover
+    passes its packed power tables as program parameters so nothing is baked
+    into executables as a literal; inverse transforms pass the inverse-root
+    table and scale by n^-1 themselves).
+
+    This is the composable form of `_dist_ntt_fn` for use INSIDE an outer
+    jit (the mesh-sharded fused prover): local n1-point NTTs, shard-local
+    twiddle by w^(k1*i2), one all-to-all reshard over ICI, local n2-point
+    NTTs.  All local twiddle tables are derived from `w_table` by
+    reshape-picks (w^(n/m) powers are every (n/m)-th entry), so no extra
+    tables are materialized.
+    """
+    from jax import shard_map
+
+    dev = field.device
+    L = dev.L
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+    n1 = 1 << ((n.bit_length() - 1) // 2)
+    n2 = n // n1
+    if n1 < D or n2 < D:
+        raise ValueError(f"domain {n} too small for {D} devices")
+
+    # local half-tables from the full half-table: the size-m canonical root
+    # is w^(n/m), whose powers are every (n/m)-th entry of w_table
+    w1t = w_table.reshape(L, n1 // 2, n2)[:, :, 0]          # root w^n2, size n1
+    w2t = w_table.reshape(L, n2 // 2, n1)[:, :, 0]          # root w^n1, size n2
+    base = jax.lax.slice(w_table, (0, 0), (L, n2))          # w^(i2), i2 < n2
+
+    def body(blk, base_blk, w1, w2):
+        # blk: [L, B, n1, n2/D]; base_blk: [L, n2/D]; w1/w2 replicated tables
+        x = jnp.transpose(blk, (1, 3, 0, 2))                # [B, n2/D, L, n1]
+        x = ntt_mod.ntt_core_table(field, x, n1, w1)
+        blk = jnp.transpose(x, (2, 0, 3, 1))                # [L, B, n1, n2/D]
+        tw = _vector_power_series(dev, base_blk, n1)        # [L, n1, n2/D]
+        blk = dev.mont_mul(blk, tw[:, None])
+        blk = jax.lax.all_to_all(blk, axis, split_axis=2, concat_axis=3,
+                                 tiled=True)                # [L, B, n1/D, n2]
+        x = jnp.transpose(blk, (1, 2, 0, 3))                # [B, n1/D, L, n2]
+        x = ntt_mod.ntt_core_table(field, x, n2, w2)
+        return jnp.transpose(x, (2, 0, 1, 3))               # [L, B, n1/D, n2]
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, None, None, axis), P(None, axis),
+                  P(None, None), P(None, None)),
+        out_specs=P(None, None, axis, None))
+
+    batch_shape = a.shape[:-2]
+    x = a.reshape((-1, L, n)) if batch_shape else a[None]
+    x = jnp.swapaxes(x, 0, 1).reshape(L, -1, n1, n2)        # [L, B, n1, n2]
+    out = sharded(x, base, w1t, w2t)                        # D[k1, k2]
+    # natural order: X[k1 + n1*k2] -> transpose (k2, k1) then flatten
+    nat = jnp.transpose(out, (1, 0, 3, 2)).reshape(-1, L, n)  # [B, L, n]
+    return nat.reshape(batch_shape + (L, n)) if batch_shape else nat[0]
 
 
 _MESHES = {}

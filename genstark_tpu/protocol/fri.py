@@ -124,11 +124,6 @@ class LowDegreeProver:
                                                 poly_proof=poly_proof))
 
     # ---------------------------------------------------------------- folding
-    @property
-    def _domain_tables(self):
-        return _domain_tables(self.field, self.context.root_of_unity,
-                              self.context.evaluation_domain_size)
-
     def _fold(self, values: jnp.ndarray, depth: int, special_x: int) -> jnp.ndarray:
         f = self.field.host
         dev = self.field.device

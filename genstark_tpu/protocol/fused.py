@@ -62,12 +62,21 @@ class FusedProver:
     enter as traced arguments.
     """
 
-    def __init__(self, stark, context, assertions):
+    def __init__(self, stark, context, assertions, mesh=None):
         self.stark = stark
         self.context = context
         self.field = context.field
         self.hash: Hash = stark.hash
         self.assertions = list(assertions)
+        # Multi-chip mode: when a Mesh is configured the pipeline shards the
+        # evaluation domain over it — explicit shard_map 4-step NTTs (one
+        # all-to-all per transform over ICI) for every transform large
+        # enough, and sharding constraints on all domain-major intermediates
+        # so XLA partitions the elementwise/hash/fold stages and inserts the
+        # halo (roll) and FRI stride-transpose collectives.  The math is
+        # identical, so sharded proof bytes == single-device proof bytes
+        # (asserted by tests/test_sharded_prover.py).
+        self.mesh = mesh
         self.c_poly = CompositionPolynomial(assertions, None, context)
         self.l_comb = LinearCombination(None, self.c_poly.composition_degree,
                                         self.c_poly.coefficient_count, context)
@@ -83,7 +92,16 @@ class FusedProver:
         self.secret_idx = list(context.schema.secret_input_registers)
         self._table_specs = self._build_table_specs()
         self._pack_cache = None       # device table pack, built on first prove
-        self._jit = jax.jit(self._pipeline)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            # inputs (trace/statics/interpolants/table pack) are tiny or
+            # reused across the domain — they enter replicated; the domain
+            # sharding is established inside the pipeline
+            self._jit = jax.jit(self._pipeline,
+                                in_shardings=(repl, repl, repl, repl))
+        else:
+            self._jit = jax.jit(self._pipeline)
 
         # Structure-level caps for the padded proof-extraction gather (the
         # actual per-proof counts vary slightly with Fiat-Shamir dedup, so
@@ -196,8 +214,34 @@ class FusedProver:
         elem = field.element_size
         tb = self._slice_tables(tpack)
 
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.ntt_dist import can_distribute, dist_ntt_core
+            n_dev = mesh.devices.size
+            ax = mesh.axis_names[0]
+
+        def shard_dom(x):
+            """Constrain the trailing (domain) axis over the mesh."""
+            if mesh is None:
+                return x
+            spec = P(*([None] * (x.ndim - 1) + [ax]))
+            return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+        def shard_rows(x):
+            """Constrain the leading (leaf/row) axis over the mesh."""
+            if mesh is None:
+                return x
+            spec = P(*([ax] + [None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+        def transform(x, n, w_table):
+            if mesh is not None and can_distribute(n, n_dev):
+                return shard_dom(dist_ntt_core(field, x, n, w_table, mesh))
+            return ntt.ntt_core_table(field, x, n, w_table)
+
         def intt_t(x):
-            out = ntt.ntt_core_table(field, x, T, tb["w_T_inv"])
+            out = transform(x, T, tb["w_T_inv"])
             n_inv = dev.const(f.inv(T % field.modulus), shape=(1,))
             moved = jnp.moveaxis(out, -2, 0) if out.ndim > 2 else out
             scaled = dev.mont_mul(moved, n_inv)
@@ -205,7 +249,7 @@ class FusedProver:
 
         def lde(x, n, w_key):
             pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
-            return ntt.ntt_core_table(field, jnp.pad(x, pad), n, tb[w_key])
+            return transform(jnp.pad(x, pad), n, tb[w_key])
 
         # ----- 3. P(x) polynomials + LDE -------------------------------------
         trace = _to_mont_batch(dev, trace_std)                  # [R, L, T]
@@ -227,7 +271,7 @@ class FusedProver:
         # ----- 4. evaluation tree ---------------------------------------------
         e_vectors_std = [dev._from_mont(p_evals[r]) for r in range(R)]
         e_vectors_std += [dev._from_mont(s) for s in s_evals]
-        leaves = hash_.merge_element_rows(e_vectors_std, elem)
+        leaves = shard_rows(hash_.merge_element_rows(e_vectors_std, elem))
         e_flat = build_tree_flat(hash_, leaves, Ne)
         e_root = fs.root_words(e_flat, Ne)
 
@@ -246,9 +290,9 @@ class FusedProver:
         cf = Nc // T
         p_evals_nc = lde(p_polys, Nc, "w_Nc")
         n_evals_nc = jnp.roll(p_evals_nc, -cf, axis=-1)
-        q_evals = context.evaluate_transition_constraints_traced(
+        q_evals = shard_dom(context.evaluate_transition_constraints_traced(
             p_evals_nc, n_evals_nc,
-            [static_evals_nc[k] for k in range(K)])
+            [static_evals_nc[k] for k in range(K)]))
         i_polys_mont = _to_mont_batch(dev, i_polys_std) if i_polys_std.shape[0] \
             else i_polys_std
         c_tables = {
@@ -263,16 +307,16 @@ class FusedProver:
                       for j in range(len(c["xs"]))]
                      for b, (r, c) in enumerate(self.c_poly.b_poly.polys.items())],
         }
-        c_evals = self.c_poly.evaluate_all(
+        c_evals = shard_dom(self.c_poly.evaluate_all(
             p_polys, p_evals, context, d_coeffs_mont=d_coeffs,
             b_coeffs_mont=b_coeffs, b_ipolys_mont=i_polys_mont, q_evals=q_evals,
-            tables=c_tables)
+            tables=c_tables))
 
         # ----- 6. linear combination ------------------------------------------
         ps = [p_evals[r] for r in range(R)] + list(s_evals)
         if self.l_comb.ps_incremental_degree > 0:
             ps = ps + [dev.mont_mul(v, tb["incr"]) for v in ps]
-        l_evals = dev._add(c_evals, dev.combine_many_mont(ps, l_coeffs))
+        l_evals = shard_dom(dev._add(c_evals, dev.combine_many_mont(ps, l_coeffs)))
 
         # ----- 7. FRI chain ----------------------------------------------------
         # Every layer gets a committed tree — INCLUDING the final remainder
@@ -287,7 +331,7 @@ class FusedProver:
         for depth, n in enumerate(all_layers):
             v_std = dev._from_mont(values)
             layer_stds.append(v_std)
-            row_hashes = hash_.digest_stride_rows(v_std, elem)
+            row_hashes = shard_rows(hash_.digest_stride_rows(v_std, elem))
             flat = build_tree_flat(hash_, row_hashes, n // 4)
             tree_flats.append(flat)
             cur_root = fs.root_words(flat, n // 4)
@@ -295,9 +339,13 @@ class FusedProver:
             if depth < len(self.layer_sizes):
                 s = fs.prng_single_dev(field, cur_root)         # [L, 1]
                 s2 = dev.mont_mul(s, s)
-                values = fold_traced(field, context.root_of_unity, Ne, depth,
-                                     values, s, s2,
-                                     domain_tables=(tb["dom_fwd"], tb["dom_inv"]))
+                # the stride-N/4 view inside the fold is the FRI transpose —
+                # re-constraining the output lets XLA place it as one
+                # all-to-all per layer (LowDegreeProver.ts:190-198 analog)
+                values = shard_dom(
+                    fold_traced(field, context.root_of_unity, Ne, depth,
+                                values, s, s2,
+                                domain_tables=(tb["dom_fwd"], tb["dom_inv"])))
         remainder_std = layer_stds[-1]                          # [L, rem]
 
         trees_cat = jnp.concatenate(tree_flats, axis=0)

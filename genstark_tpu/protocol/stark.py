@@ -72,6 +72,20 @@ class Stark:
                                      air.secret_input_count, self.hash.digest_size)
         self.logger = logger or noop_logger
         self._fused_cache = {}
+        # Multi-chip proving: when a jax.sharding.Mesh is configured (option
+        # "mesh" or set_mesh), the fused prover shards the evaluation domain
+        # over it — 4-step NTTs with one all-to-all per transform, sharded
+        # constraint/composition/fold stages, per-shard Merkle hashing.  The
+        # reference has no parallelism at all (SURVEY.md section 2.4); this
+        # is the TPU-native scaling axis.  Proof bytes are identical to the
+        # single-device path.
+        self.mesh = options.get("mesh")
+
+    def set_mesh(self, mesh) -> None:
+        """Configure (or clear, with None) the device mesh used by prove()."""
+        if mesh is not self.mesh:
+            self.mesh = mesh
+            self._fused_cache = {}
 
     # ----- accessors --------------------------------------------------------
     @property
@@ -130,14 +144,14 @@ class Stark:
                 prover = self._rebuild_fused(prover, context, assertions)
                 self._fused_cache[key] = prover
             return prover
-        prover = FusedProver(self, context, assertions)
+        prover = FusedProver(self, context, assertions, mesh=self.mesh)
         self._fused_cache[key] = prover
         return prover
 
     @staticmethod
     def _rebuild_fused(old, context, assertions):
         from .fused import FusedProver
-        new = FusedProver(old.stark, context, assertions)
+        new = FusedProver(old.stark, context, assertions, mesh=old.mesh)
         # same structure -> same programs/tables: reuse the compiled jits and
         # the device-resident table pack so a new context/assertion-values
         # never recompiles or re-uploads

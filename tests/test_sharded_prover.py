@@ -1,0 +1,58 @@
+"""Multi-chip prover correctness: `Stark.prove` over an 8-virtual-device CPU
+mesh must produce byte-identical proofs to the single-device path (the
+sharded pipeline is the same math — distributed 4-step NTTs, sharded
+composition/fold/hash stages — so any divergence is a bug).
+
+This is the multi-chip test strategy of SURVEY.md section 4 applied to the
+FULL prover pipeline (/root/reference/lib/Stark.ts:81-163), not just the NTT.
+"""
+
+import jax
+import pytest
+
+from examples.mimc import make_mimc_stark, run_mimc
+from genstark_tpu.field import P32, P128
+from genstark_tpu.parallel import make_mesh
+from genstark_tpu.protocol import Assertion
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+def _mimc_proof(steps, modulus, options, mesh):
+    stark, constants = make_mimc_stark(
+        steps, modulus=modulus, use_input=False,
+        constant_count=min(64, steps // 2), options=options)
+    if mesh is not None:
+        stark.set_mesh(mesh)
+    field = stark.air.field
+    controls = run_mimc(field, steps, constants, 3)
+    assertions = [Assertion(0, 0, controls[0]),
+                  Assertion(steps - 1, 0, controls[-1])]
+    proof = stark.prove(assertions, [], [3])
+    data = stark.serialize(proof)
+    assert stark.verify(assertions, stark.parse(data))
+    return data
+
+
+# Ne = 128*4 = 512 > 256 -> exactly one FRI fold, so the sharded path covers
+# iNTT, LDE, composition (roll/Z-inverse/boundary), linear combination, a
+# fold with its stride transpose, both Merkle trees, and proof extraction.
+_OPTS = {"extension_factor": 4, "exe_query_count": 12, "fri_query_count": 8}
+
+
+def test_sharded_proof_bytes_match_single_device(mesh8):
+    single = _mimc_proof(128, P32, _OPTS, None)
+    sharded = _mimc_proof(128, P32, _OPTS, mesh8)
+    assert sharded == single
+
+
+@pytest.mark.slow
+def test_sharded_proof_bytes_match_single_device_p128(mesh8):
+    single = _mimc_proof(128, P128, _OPTS, None)
+    sharded = _mimc_proof(128, P128, _OPTS, mesh8)
+    assert sharded == single
