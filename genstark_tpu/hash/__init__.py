@@ -5,10 +5,18 @@
 same surface the protocol engine needs (SURVEY.md section 1, L2):
 
 - digest(bytes) -> bytes                       (host, Fiat-Shamir-sized)
-- digest_rows(words_le, msg_bytes)             (device batch; [B, 8] LE words)
+- digest_rows(words_le, msg_bytes)             (device batch, word-major:
+                                                uint32[W, B] -> [8, B])
 - merge_element_rows(vectors_std)              (leaf-per-index over vectors =
                                                 `mergeVectorRows`)
 - hash_pairs(digests)                          (one Merkle tree level)
+
+Device digests are WORD-MAJOR uint32[8, B] (words in sublanes, batch in
+lanes): a batch-major [B, 8] minor dimension is tile-padded 8-wide -> 128
+lanes on TPU, a 16x HBM blowup that exceeds device memory for the Merkle
+buffers at a 2^24-point evaluation domain and wastes bandwidth at every
+size.  Word-major buffers tile perfectly and every compression operates on
+full [B] lane vectors.
 """
 
 from __future__ import annotations
@@ -25,8 +33,8 @@ HASH_ALGORITHMS = ("sha256", "blake2s256")
 
 
 def digests_to_bytes(digests: np.ndarray) -> List[bytes]:
-    """uint32[B, 8] LE-word digests -> list of 32-byte digests."""
-    arr = np.ascontiguousarray(digests.astype("<u4"))
+    """uint32[8, B] word-major LE-word digests -> list of 32-byte digests."""
+    arr = np.ascontiguousarray(digests.astype("<u4").T)
     raw = arr.tobytes()
     return [raw[i * 32:(i + 1) * 32] for i in range(arr.shape[0])]
 
@@ -38,7 +46,8 @@ def bytes_to_words_le(data: bytes) -> np.ndarray:
 
 
 def elements_to_words(limbs: jnp.ndarray) -> jnp.ndarray:
-    """Standard-form 16-bit limb array [L, N] -> LE-byte words [N, L/2].
+    """Standard-form 16-bit limb array [L, N] -> LE-byte words [L/2, N]
+    (word-major — no transpose, limb pairs combine in place).
 
     Element byte layout is little-endian (reference wire format), so word k
     of element j is limbs[2k, j] | limbs[2k+1, j] << 16.
@@ -47,8 +56,7 @@ def elements_to_words(limbs: jnp.ndarray) -> jnp.ndarray:
     assert L % 2 == 0
     lo = limbs[0::2]
     hi = limbs[1::2]
-    words = lo | (hi << np.uint32(16))          # [L/2, N]
-    return jnp.swapaxes(words, 0, 1)            # [N, L/2]
+    return lo | (hi << np.uint32(16))           # [L/2, N]
 
 
 class Hash:
@@ -66,22 +74,23 @@ class Hash:
 
     # ----- device batch paths ----------------------------------------------
     def digest_rows(self, words_le: jnp.ndarray, msg_bytes: int) -> jnp.ndarray:
-        """Hash B equal-size messages: uint32[B, W] LE words -> [B, 8]."""
+        """Hash B equal-size messages: uint32[W, B] LE words -> [8, B]."""
         return self._mod.digest_rows_le(words_le, msg_bytes)
 
     def merge_element_rows(self, vectors_std: Sequence[jnp.ndarray],
                            element_size: int) -> jnp.ndarray:
         """Leaf hashing across vectors: leaf_i = H(v0[i] || v1[i] || ...).
 
-        vectors_std: list of standard-form limb arrays [L, N].
+        vectors_std: list of standard-form limb arrays [L, N]; returns
+        word-major digests [8, N].
         Equivalent of merkle `mergeVectorRows` (/root/reference/lib/Stark.ts:115).
         """
-        words = jnp.concatenate([elements_to_words(v) for v in vectors_std], axis=1)
+        words = jnp.concatenate([elements_to_words(v) for v in vectors_std], axis=0)
         return self.digest_rows(words, element_size * len(vectors_std))
 
     def digest_stride_rows(self, values_std: jnp.ndarray, element_size: int) -> jnp.ndarray:
         """FRI row hashing: values [L, N] -> rows r = [v[r], v[r+M], v[r+2M],
-        v[r+3M]] with M = N/4, hash each 4-element row.
+        v[r+3M]] with M = N/4, hash each 4-element row -> [8, M].
 
         Equivalent of `digestValues(matrix.toBuffer(), 4*elementSize)` on the
         stride-transposed matrix (/root/reference/lib/components/LowDegreeProver.ts:42-45).
@@ -89,13 +98,18 @@ class Hash:
         L, N = values_std.shape
         M = N // 4
         cols = [elements_to_words(values_std[:, k * M:(k + 1) * M]) for k in range(4)]
-        words = jnp.concatenate(cols, axis=1)   # [M, 4*L/2]
+        words = jnp.concatenate(cols, axis=0)   # [4*L/2, M]
         return self.digest_rows(words, element_size * 4)
 
     def hash_pairs(self, digests: jnp.ndarray) -> jnp.ndarray:
-        """One Merkle level: uint32[2N, 8] -> uint32[N, 8]."""
-        n = digests.shape[0] // 2
-        pairs = digests.reshape(n, 16)
+        """One Merkle level: uint32[8, 2N] -> uint32[8, N] (word-major).
+
+        Pair k = leaves 2k (left) and 2k+1 (right): split even/odd lanes via
+        a reshape-pick (a stride-2 lane slice would be a strided slice) and
+        stack left over right as a 16-word message."""
+        n = digests.shape[1] // 2
+        d = digests.reshape(8, n, 2)
+        pairs = jnp.concatenate([d[:, :, 0], d[:, :, 1]], axis=0)  # [16, N]
         return self.digest_rows(pairs, 64)
 
 

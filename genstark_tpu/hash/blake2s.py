@@ -6,7 +6,10 @@ The reference's perf-tuned examples use blake2s256 as the Merkle hash
 BLAKE2s with digest_length=32, no key — identical to python hashlib.blake2s.
 
 Message convention matches sha256.py: uint32 LE-byte words in and out
-(BLAKE2s is natively little-endian, so no byteswaps are needed).
+(BLAKE2s is natively little-endian, so no byteswaps are needed), in the
+WORD-MAJOR layout — messages uint32[W, B], digests uint32[8, B] — so every
+word is a full [B] lane vector and no buffer pays the 16x tile padding a
+batch-major [B, 8] minor dimension costs on TPU (see sha256.py docstring).
 """
 
 from __future__ import annotations
@@ -40,21 +43,22 @@ def _rotr(x, n):
 
 
 def _compress(h, m, t, last):
-    """h: [..., 8]; m: [..., 16] message words; t: byte counter (int);
-    last: bool.
+    """h: [8, B]; m: [16, B] message words (word-major); t: byte counter
+    (int); last: bool.
 
     The 10 rounds run as a `fori_loop` with the per-round message
-    permutation done as a gather from the sigma table — executable size is
-    the dominant one-time cost on the tunnelled-TPU backend, and this body
-    is inlined into every Merkle level loop (see merkle._tree_builder).
+    permutation done as static row picks per switch branch — executable
+    size is the dominant one-time cost on the tunnelled-TPU backend, and
+    this body is inlined into every Merkle level loop (see
+    merkle._tree_builder).
     """
-    batch = h.shape[:-1]
-    iv = jnp.broadcast_to(jnp.asarray(_IV), batch + (8,))
-    v = jnp.concatenate([h, iv], axis=-1)                        # [..., 16]
-    v = v.at[..., 12].set(v[..., 12] ^ jnp.uint32(t & 0xFFFFFFFF))
-    v = v.at[..., 13].set(v[..., 13] ^ jnp.uint32((t >> 32) & 0xFFFFFFFF))
+    B = h.shape[-1]
+    iv = jnp.broadcast_to(jnp.asarray(_IV)[:, None], (8, B))
+    v = jnp.concatenate([h, iv], axis=0)                         # [16, B]
+    v = v.at[12].set(v[12] ^ jnp.uint32(t & 0xFFFFFFFF))
+    v = v.at[13].set(v[13] ^ jnp.uint32((t >> 32) & 0xFFFFFFFF))
     if last:
-        v = v.at[..., 14].set(v[..., 14] ^ jnp.uint32(0xFFFFFFFF))
+        v = v.at[14].set(v[14] ^ jnp.uint32(0xFFFFFFFF))
 
     # static G wiring: column step then diagonal step
     A = np.array([0, 1, 2, 3, 0, 1, 2, 3])
@@ -74,23 +78,22 @@ def _compress(h, m, t, last):
         return a, b, c, d
 
     def _pick(arr, idxs):
-        # static column picks (slices) — dynamic lane gathers run ~100x
-        # slower than slices on TPU
-        return jnp.stack([arr[..., int(j)] for j in idxs], axis=-1)
+        # static row picks — each picked word is a full [B] lane vector
+        return jnp.stack([arr[int(j)] for j in idxs], axis=0)
 
     def make_round(s):
         # closes over `m` (never enters the loop carry: carrying it through
         # fori_loop breaks under shard_map — the switch output comes back
         # shard-varying while the input carry is unvarying)
         def round_fn(v):
-            ms = _pick(m, s)                                     # [..., 16]
+            ms = _pick(m, s)                                     # [16, B]
             for half in range(2):
                 ia, ib = A[4 * half:4 * half + 4], B[4 * half:4 * half + 4]
                 ic, id_ = C[4 * half:4 * half + 4], D[4 * half:4 * half + 4]
                 a, b, c, d = (_pick(v, ia), _pick(v, ib),
                               _pick(v, ic), _pick(v, id_))
-                x = ms[..., 8 * half + 0::2][..., :4]
-                y = ms[..., 8 * half + 1::2][..., :4]
+                x = ms[8 * half + 0::2][:4]
+                y = ms[8 * half + 1::2][:4]
                 a, b, c, d = G(a, b, c, d, x, y)
                 src = {}
                 for k in range(4):
@@ -98,8 +101,8 @@ def _compress(h, m, t, last):
                     src[int(ib[k])] = (b, k)
                     src[int(ic[k])] = (c, k)
                     src[int(id_[k])] = (d, k)
-                v = jnp.stack([src[lane][0][..., src[lane][1]]
-                               for lane in range(16)], axis=-1)
+                v = jnp.stack([src[word][0][src[word][1]]
+                               for word in range(16)], axis=0)
             return v
 
         return round_fn
@@ -119,33 +122,33 @@ def _compress(h, m, t, last):
     # same varying type as m, without needing the mesh axis names here.
     v = v ^ (m & jnp.uint32(0))
     v = jax.lax.fori_loop(0, 10, round_body, v)
-    return h ^ v[..., :8] ^ v[..., 8:]
+    return h ^ v[:8] ^ v[8:]
 
 
 def digest_rows_le(words_le: jnp.ndarray, msg_bytes: int) -> jnp.ndarray:
-    """BLAKE2s-256 of B equal-length messages.
+    """BLAKE2s-256 of B equal-length messages (word-major layout).
 
-    words_le: uint32[B, ceil(msg_bytes/4)] LE-byte words (partial word
-    zero-padded).  Returns uint32[B, 8] digests in LE-word form.
+    words_le: uint32[ceil(msg_bytes/4), B] LE-byte words (partial word
+    zero-padded).  Returns uint32[8, B] digests in LE-word form.
     """
-    B, n_words = words_le.shape
+    n_words, B = words_le.shape
     assert n_words == (msg_bytes + 3) // 4
     n_blocks = max(1, (msg_bytes + 63) // 64)
     total_words = n_blocks * 16
     if total_words > n_words:
-        pad = jnp.zeros((B, total_words - n_words), dtype=jnp.uint32)
-        msg = jnp.concatenate([words_le, pad], axis=1)
+        pad = jnp.zeros((total_words - n_words, B), dtype=jnp.uint32)
+        msg = jnp.concatenate([words_le, pad], axis=0)
     else:
         msg = words_le
 
     # parameter block: digest_length=32, fanout=1, depth=1
-    h = jnp.broadcast_to(jnp.asarray(_IV), (B, 8))
-    h = h.at[:, 0].set(h[:, 0] ^ jnp.uint32(0x01010020))
+    h = jnp.broadcast_to(jnp.asarray(_IV)[:, None], (8, B))
+    h = h.at[0].set(h[0] ^ jnp.uint32(0x01010020))
 
     for blk in range(n_blocks):
         last = blk == n_blocks - 1
         t = msg_bytes if last else (blk + 1) * 64
-        h = _compress(h, msg[:, blk * 16:(blk + 1) * 16], t, last)
+        h = _compress(h, msg[blk * 16:(blk + 1) * 16], t, last)
     return h
 
 

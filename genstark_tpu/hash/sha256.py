@@ -10,6 +10,14 @@ Message convention: messages are given as uint32 arrays of *little-endian
 byte words* — word w holds message bytes [4k..4k+3] as w & 0xff = byte 4k.
 SHA-256 interprets the byte stream big-endian per word, so we byteswap in.
 Digests are returned in the same LE-word form (8 words = 32 bytes).
+
+Layout is WORD-MAJOR: messages are uint32[W, B] and digests uint32[8, B]
+(word index in sublanes, batch in lanes).  The batch-major [B, 8] layout
+tile-pads the 8-wide minor dimension to 128 lanes on TPU — a 16x HBM blowup
+that alone exceeds device memory for the Merkle buffers of a 2^24-point
+evaluation domain (512 MB of digests -> 8+ GB resident).  Word-major rows
+are full [B]-long lane vectors, so every round operates on perfectly tiled
+1-D vectors and carries a [16, B] state with zero padding.
 """
 
 from __future__ import annotations
@@ -50,22 +58,22 @@ def byteswap32(x):
 
 
 def _compress(state, block):
-    """state: [..., 8], block: [..., 16] BE words.
+    """state: [8, B], block: [16, B] BE words (word-major).
 
     The 64 rounds run as a `fori_loop` over 4 blocks of 16 statically
     indexed rounds: the loop keeps the compiled body small (per-program
     size is the dominant one-time cost on the tunnelled-TPU backend — this
     kernel is inlined into every Merkle tree level loop), while the static
-    in-block lane indexing avoids dynamic lane gathers (the slow path on
-    TPU; the schedule window rotates fully every 16 rounds, so indices are
-    compile-time constants inside the block).
+    in-block word indexing avoids dynamic gathers (the schedule window
+    rotates fully every 16 rounds, so indices are compile-time constants
+    inside the block).  Each indexed word is a full [B] lane vector.
     """
     k_rows = jnp.asarray(_K.reshape(4, 16))
 
     def block16(o, carry):
-        v, w = carry                            # v: [..., 8], w: [..., 16]
+        v, w = carry                            # v: [8, B], w: [16, B]
         krow = jax.lax.dynamic_index_in_dim(k_rows, o, axis=0, keepdims=False)
-        cols = [w[..., j] for j in range(16)]
+        cols = [w[j] for j in range(16)]
         for j in range(16):
             w1 = cols[(j + 1) % 16]
             w9 = cols[(j + 9) % 16]
@@ -76,20 +84,20 @@ def _compress(state, block):
             wt = jnp.where(o == 0, w0, w0 + s0 + w9 + s1)
             cols[j] = wt
 
-            a, b, c, d, e, f, g, h = [v[..., i] for i in range(8)]
+            a, b, c, d, e, f, g, h = [v[i] for i in range(8)]
             S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
             ch = (e & f) ^ (~e & g)
             t1 = h + S1 + ch + krow[j] + wt
             S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
             maj = (a & b) ^ (a & c) ^ (b & c)
-            v = jnp.stack([t1 + S0 + maj, a, b, c, d + t1, e, f, g], axis=-1)
-        return v, jnp.stack(cols, axis=-1)
+            v = jnp.stack([t1 + S0 + maj, a, b, c, d + t1, e, f, g], axis=0)
+        return v, jnp.stack(cols, axis=0)
 
     # Same shard_map varying-manual-axes fix as blake2s._compress: the first
     # call's state is a pure-constant broadcast (H0) — unvarying — while the
     # loop output mixes in the shard-varying block.  (block & 0) is folded
     # away by XLA but gives state the same varying type as block.
-    state = state ^ (block[..., :8] & jnp.uint32(0))
+    state = state ^ (block[:8] & jnp.uint32(0))
     v, _ = jax.lax.fori_loop(0, 4, block16, (state, block))
     return state + v
 
@@ -97,34 +105,34 @@ def _compress(state, block):
 
 
 def digest_rows_le(words_le: jnp.ndarray, msg_bytes: int) -> jnp.ndarray:
-    """SHA-256 of B equal-length messages.
+    """SHA-256 of B equal-length messages (word-major layout).
 
-    words_le: uint32[B, ceil(msg_bytes/4)] LE-byte words (trailing partial
-    word zero-padded).  Returns uint32[B, 8] digests in LE-word form.
+    words_le: uint32[ceil(msg_bytes/4), B] LE-byte words (trailing partial
+    word zero-padded).  Returns uint32[8, B] digests in LE-word form.
     """
-    B, n_words = words_le.shape
+    n_words, B = words_le.shape
     assert n_words == (msg_bytes + 3) // 4
     n_blocks = (msg_bytes + 9 + 63) // 64
     total_words = n_blocks * 16
     # build padded message in LE-word space, then swap to BE
-    pad_words = jnp.zeros((B, total_words - n_words), dtype=jnp.uint32)
-    msg = jnp.concatenate([words_le, pad_words], axis=1)
+    pad_words = jnp.zeros((total_words - n_words, B), dtype=jnp.uint32)
+    msg = jnp.concatenate([words_le, pad_words], axis=0)
     # 0x80 terminator byte
     term_word = msg_bytes // 4
     term_shift = (msg_bytes % 4) * 8
     if msg_bytes % 4 == 0:
-        msg = msg.at[:, term_word].set(jnp.uint32(0x80))
+        msg = msg.at[term_word].set(jnp.uint32(0x80))
     else:
-        msg = msg.at[:, term_word].set(msg[:, term_word] | jnp.uint32(0x80 << term_shift))
+        msg = msg.at[term_word].set(msg[term_word] | jnp.uint32(0x80 << term_shift))
     be = byteswap32(msg)
     # bit length, big-endian u64 in last two BE words
     bitlen = msg_bytes * 8
-    be = be.at[:, total_words - 2].set(jnp.uint32(bitlen >> 32))
-    be = be.at[:, total_words - 1].set(jnp.uint32(bitlen & 0xFFFFFFFF))
+    be = be.at[total_words - 2].set(jnp.uint32(bitlen >> 32))
+    be = be.at[total_words - 1].set(jnp.uint32(bitlen & 0xFFFFFFFF))
 
-    state = jnp.broadcast_to(jnp.asarray(_H0), (B, 8))
+    state = jnp.broadcast_to(jnp.asarray(_H0)[:, None], (8, B))
     for blk in range(n_blocks):
-        state = _compress(state, be[:, blk * 16:(blk + 1) * 16])
+        state = _compress(state, be[blk * 16:(blk + 1) * 16])
     return byteswap32(state)
 
 

@@ -49,34 +49,37 @@ def build_tree_flat(h: "Hash", leaves: jnp.ndarray, n: int) -> jnp.ndarray:
     """Traceable all-levels tree build (fixed-window layout, see
     _tree_builder).  Inlined by the fused prover (protocol/fused.py).
 
+    Layout is WORD-MAJOR [8, rows] (digest words in sublanes, tree rows in
+    lanes): a [rows, 8] minor dimension is tile-padded 16x on TPU, which
+    alone would exceed HBM for the evaluation tree of a 2^24-point domain.
+
     Hybrid schedule: the top U levels (which hold ~94% of the hash work)
     run unrolled at their true sizes; the remaining levels run as a
     fori_loop over a fixed n/2^U-row window.  Total work ~1.5n compressions
     (vs n for a fully size-exact build and depth*n/2 for a fully windowed
     one) while the program stays ~U+1 compression bodies, and the flat
-    layout is ~2n rows (the naive all-window layout is 13n+ at depth 24,
-    which alone would exceed HBM for a 2^24-point evaluation domain)."""
+    layout is ~2n rows (the naive all-window layout is 13n+ at depth 24)."""
     depth = n.bit_length() - 1
     if depth == 0:
         return leaves
-    out = jnp.zeros((tree_row_count(n), 8), dtype=jnp.uint32)
+    out = jnp.zeros((8, tree_row_count(n)), dtype=jnp.uint32)
     out = jax.lax.dynamic_update_slice(out, leaves, (0, 0))
 
     U = min(_EXACT_LEVELS, depth)
     cur = leaves
     for k in range(1, U + 1):
-        cur = h.hash_pairs(cur)               # [n/2^k, 8], exact size
-        out = jax.lax.dynamic_update_slice(out, cur, (_level_offset(n, k), 0))
+        cur = h.hash_pairs(cur)               # [8, n/2^k], exact size
+        out = jax.lax.dynamic_update_slice(out, cur, (0, _level_offset(n, k)))
 
     if depth > U:
         window = n >> (U + 1)
         base = _level_offset(n, U + 1)
 
         def body(i, carry):                   # builds level U+1+i
-            out, cur = carry                  # cur: [n/2^U, 8] window
-            digests = h.hash_pairs(cur)       # [n/2^(U+1), 8] (prefix valid)
+            out, cur = carry                  # cur: [8, n/2^U] window
+            digests = h.hash_pairs(cur)       # [8, n/2^(U+1)] (prefix valid)
             out = jax.lax.dynamic_update_slice(out, digests,
-                                               (base + i * window, 0))
+                                               (0, base + i * window))
             cur = jax.lax.dynamic_update_slice(cur, digests, (0, 0))
             return out, cur
 
@@ -147,7 +150,7 @@ def assemble_batch(positions: Sequence[int], depth: int, emissions,
 
 @jax.jit
 def _gather_rows(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take(flat, idx, axis=0)
+    return jnp.take(flat, idx, axis=1)          # word-major: rows in lanes
 
 
 @dataclass
@@ -180,13 +183,14 @@ class MerkleTree:
 
     @classmethod
     def create(cls, leaves: jnp.ndarray, hash_: Hash) -> "MerkleTree":
-        """leaves: uint32[N, 8] LE-word digests on device (N a power of 2).
-        The tree stays device-resident; only the root is transferred."""
-        n = int(leaves.shape[0])
+        """leaves: uint32[8, N] word-major LE-word digests on device (N a
+        power of 2).  The tree stays device-resident; only the root is
+        transferred."""
+        n = int(leaves.shape[1])
         assert n & (n - 1) == 0 and n >= 1, "leaf count must be a power of 2"
         flat = _tree_builder(hash_.algorithm, n)(leaves)
         depth = n.bit_length() - 1
-        root = np.asarray(flat[_level_offset(n, depth)]).astype("<u4").tobytes()
+        root = np.asarray(flat[:, _level_offset(n, depth)]).astype("<u4").tobytes()
         return cls(hash_, depth, flat_dev=flat, root=root)
 
     @classmethod
@@ -209,7 +213,7 @@ class MerkleTree:
             n = self.leaf_count
             offsets = [_level_offset(n, level) + idx for level, idx in coords]
             rows = np.asarray(_gather_rows(
-                self._flat, jnp.asarray(offsets, dtype=jnp.int32))).astype("<u4")
+                self._flat, jnp.asarray(offsets, dtype=jnp.int32))).astype("<u4").T
             return [rows[i].tobytes() for i in range(rows.shape[0])]
         return [self._levels[level][idx] for level, idx in coords]
 

@@ -33,8 +33,9 @@ _U32 = jnp.uint32
 def digest_words_to_field_mont(field: PrimeField, digests: jnp.ndarray) -> jnp.ndarray:
     """Reduce 256-bit big-endian digests mod p, into Montgomery form.
 
-    digests: uint32[N, 8] LE-byte words (the hash layer's digest convention).
-    Returns uint32[L, N] Montgomery elements == int_be(digest_bytes) % p.
+    digests: uint32[8, N] word-major LE-byte words (the hash layer's digest
+    convention).  Returns uint32[L, N] Montgomery elements
+    == int_be(digest_bytes) % p.
 
     value = sum_w byteswap32(W[w]) * 2^(32*(7-w)); split into 16-bit limbs,
     then fold ceil(16/L)-sized chunks with precomputed powers:
@@ -44,14 +45,14 @@ def digest_words_to_field_mont(field: PrimeField, digests: jnp.ndarray) -> jnp.n
     """
     dev = field.device
     L = dev.L
-    v32 = _sha256.byteswap32(digests[:, ::-1])          # [N, 8], 32-bit LE limbs
+    n = digests.shape[1]
+    v32 = _sha256.byteswap32(digests[::-1])             # [8, N], 32-bit LE limbs
     lo = (v32 & jnp.uint32(0xFFFF))
     hi = (v32 >> jnp.uint32(16))
-    u16 = jnp.stack([lo, hi], axis=-1).reshape(digests.shape[0], 16)  # [N, 16]
-    u16 = jnp.swapaxes(u16, 0, 1)                       # [16, N] limb-major
+    u16 = jnp.stack([lo, hi], axis=1).reshape(16, n)    # [16, N] limb-major
     n_chunks = -(-16 // L)
     if 16 % L:
-        pad = jnp.zeros((n_chunks * L - 16, digests.shape[0]), dtype=_U32)
+        pad = jnp.zeros((n_chunks * L - 16, n), dtype=_U32)
         u16 = jnp.concatenate([u16, pad], axis=0)
     acc = None
     for j in range(n_chunks):
@@ -71,16 +72,16 @@ def prng_elements_dev(field: PrimeField, seed_words: jnp.ndarray,
     Returns uint32[L, count] Montgomery field elements.
     """
     seed_bytes = seed_words.shape[0] * 4
-    state = _sha256.digest_rows_le(seed_words[None, :], seed_bytes)   # [1, 8]
+    state = _sha256.digest_rows_le(seed_words[:, None], seed_bytes)   # [8, 1]
     idx = jax.lax.iota(_U32, count)
     # u64_be(i): 8 bytes, high 4 are zero for i < 2^32; as LE-byte words the
     # first word is 0 and the second is byteswap32(i).
     msgs = jnp.concatenate([
-        jnp.broadcast_to(state, (count, 8)),
-        jnp.zeros((count, 1), dtype=_U32),
-        _sha256.byteswap32(idx)[:, None],
-    ], axis=1)                                                        # [count, 10]
-    digests = _sha256.digest_rows_le(msgs, 40)                        # [count, 8]
+        jnp.broadcast_to(state, (8, count)),
+        jnp.zeros((1, count), dtype=_U32),
+        _sha256.byteswap32(idx)[None, :],
+    ], axis=0)                                                        # [10, count]
+    digests = _sha256.digest_rows_le(msgs, 40)                        # [8, count]
     return digest_words_to_field_mont(field, digests)
 
 
@@ -90,9 +91,9 @@ def prng_single_dev(field: PrimeField, seed_words: jnp.ndarray) -> jnp.ndarray:
 
 
 def root_words(flat_tree: jnp.ndarray, n_leaves: int) -> jnp.ndarray:
-    """Root digest row [8] of a device Merkle tree in the fixed-window layout
-    (genstark_tpu/merkle)."""
+    """Root digest [8] of a device Merkle tree in the word-major
+    fixed-window layout (genstark_tpu/merkle)."""
     from ..merkle import _level_offset
     depth = n_leaves.bit_length() - 1
-    return jax.lax.dynamic_slice(flat_tree, (_level_offset(n_leaves, depth), 0),
-                                 (1, 8))[0]
+    return jax.lax.dynamic_slice(flat_tree, (0, _level_offset(n_leaves, depth)),
+                                 (8, 1))[:, 0]

@@ -126,7 +126,9 @@ class FusedProver:
         V = context.schema.trace_width + len(self.secret_idx)
 
         def packed(trees_cat, vals_cat, e_std, idx_rows, idx_cols, idx_e):
-            rows = jnp.take(trees_cat, idx_rows, axis=0)         # [capR, 8]
+            # trees_cat is word-major [8, rows]; gather along lanes, then
+            # transpose the tiny result so the host unpack stays row-major
+            rows = jnp.take(trees_cat, idx_rows, axis=1).T       # [capR, 8]
             cols = jnp.take(vals_cat, idx_cols, axis=1)          # [L, capC]
             evals = jnp.take(e_std, idx_e, axis=2)               # [V, L, capE]
             return jnp.concatenate([rows.reshape(-1), cols.reshape(-1),
@@ -154,8 +156,15 @@ class FusedProver:
             ("w_Nc", f.get_root_of_unity(Nc), Nc // 2),
             ("w_Nc_inv", f.inv(f.get_root_of_unity(Nc)), Nc // 2),
             ("dom_fwd", rou, Ne),
-            ("dom_inv", f.inv(rou), Ne),
         ]
+        # per-depth FRI fold tables (w^(4^d))^i and inverse, i < N_d/4 — the
+        # strided picks the folds need, WITHOUT ever holding full forward +
+        # inverse domain tables (each [L, Ne] = 512 MB at Ne = 2^24)
+        for d in range(len(self.layer_sizes)):
+            g_d = f.exp(rou, 4 ** d)
+            m_d = (Ne // (4 ** d)) // 4
+            specs.append((f"fold{d}", g_d, m_d))
+            specs.append((f"foldi{d}", f.inv(g_d), m_d))
         incr = self.c_poly.composition_degree - T
         if incr > 0:
             specs.append(("incr", f.exp(rou, incr), Ne))
@@ -170,23 +179,59 @@ class FusedProver:
                 specs.append((f"bci{b}_{j}", f.inv(root), T))
         return specs
 
+    # Tables longer than this are uploaded FACTORED — outer powers of
+    # seed^s and inner powers of seed, len = nj*s with s ~ sqrt(len) — and
+    # regenerated on device by one broadcast Montgomery multiply.  This
+    # bounds both the host big-int work and the upload at O(sqrt(len)) per
+    # table: the direct pack is ~2 GB at Ne = 2^24 (dom/incr/w_Ne tables are
+    # all O(Ne)); the factored pack is a few hundred KB.
+    _factor_threshold = 4096
+
+    def _factored(self, ln: int):
+        """(s, nj) split for a factored table, or None for direct upload."""
+        if ln <= self._factor_threshold:
+            return None
+        s = 1 << ((ln.bit_length() - 1) // 2)
+        return s, ln // s
+
     def _get_pack(self) -> jnp.ndarray:
         if self._pack_cache is None:
             from ..field.limbs import power_series_mont_np
             params = self.field.params
-            parts = [power_series_mont_np(params, seed, ln)
-                     for _, seed, ln in self._table_specs]
+            p = self.field.modulus
+            parts = []
+            for _, seed, ln in self._table_specs:
+                fac = self._factored(ln)
+                if fac is None:
+                    parts.append(power_series_mont_np(params, seed, ln))
+                else:
+                    s, nj = fac
+                    parts.append(power_series_mont_np(params,
+                                                      pow(seed % p, s, p), nj))
+                    parts.append(power_series_mont_np(params, seed, s))
             self._pack_cache = jnp.asarray(np.concatenate(parts, axis=1))
         return self._pack_cache
 
     def _slice_tables(self, tpack):
-        """Static slices of the packed parameter, keyed by spec name."""
+        """Static slices of the packed parameter, keyed by spec name;
+        factored tables are regenerated as outer[j]*inner[k] on device."""
+        dev = self.field.device
         out = {}
         off = 0
-        L = self.field.device.L
+        L = dev.L
         for key, _, ln in self._table_specs:
-            out[key] = jax.lax.slice(tpack, (0, off), (L, off + ln))
-            off += ln
+            fac = self._factored(ln)
+            if fac is None:
+                out[key] = jax.lax.slice(tpack, (0, off), (L, off + ln))
+                off += ln
+            else:
+                s, nj = fac
+                outer = jax.lax.slice(tpack, (0, off), (L, off + nj))
+                off += nj
+                inner = jax.lax.slice(tpack, (0, off), (L, off + s))
+                off += s
+                full = dev.mont_mul(outer[:, :, None], inner[:, None, :])
+                out[key] = full.reshape(L, ln)
         return out
 
     # ------------------------------------------------------------------ trace
@@ -196,7 +241,8 @@ class FusedProver:
         the [L, total] packed power tables (see _build_table_specs).
 
         Returns (trees_cat, e_std, vals_cat, roots, remainder_std):
-          trees_cat  [sum tree rows, 8]  — e-tree then each FRI layer tree
+          trees_cat  [8, sum tree rows]  — e-tree then each FRI layer tree
+                                           (word-major, see hash/merkle)
           e_std      [V, L, Ne]          — committed evaluation vectors (std)
           vals_cat   [L, sum layer cols] — FRI layer values (std), lc first
           roots      [1 + n_layers, 8]   — e-root, lc-root, column roots...
@@ -226,13 +272,6 @@ class FusedProver:
             if mesh is None:
                 return x
             spec = P(*([None] * (x.ndim - 1) + [ax]))
-            return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
-
-        def shard_rows(x):
-            """Constrain the leading (leaf/row) axis over the mesh."""
-            if mesh is None:
-                return x
-            spec = P(*([ax] + [None] * (x.ndim - 1)))
             return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
         def transform(x, n, w_table):
@@ -271,7 +310,7 @@ class FusedProver:
         # ----- 4. evaluation tree ---------------------------------------------
         e_vectors_std = [dev._from_mont(p_evals[r]) for r in range(R)]
         e_vectors_std += [dev._from_mont(s) for s in s_evals]
-        leaves = shard_rows(hash_.merge_element_rows(e_vectors_std, elem))
+        leaves = shard_dom(hash_.merge_element_rows(e_vectors_std, elem))
         e_flat = build_tree_flat(hash_, leaves, Ne)
         e_root = fs.root_words(e_flat, Ne)
 
@@ -331,7 +370,7 @@ class FusedProver:
         for depth, n in enumerate(all_layers):
             v_std = dev._from_mont(values)
             layer_stds.append(v_std)
-            row_hashes = shard_rows(hash_.digest_stride_rows(v_std, elem))
+            row_hashes = shard_dom(hash_.digest_stride_rows(v_std, elem))
             flat = build_tree_flat(hash_, row_hashes, n // 4)
             tree_flats.append(flat)
             cur_root = fs.root_words(flat, n // 4)
@@ -345,10 +384,10 @@ class FusedProver:
                 values = shard_dom(
                     fold_traced(field, context.root_of_unity, Ne, depth,
                                 values, s, s2,
-                                domain_tables=(tb["dom_fwd"], tb["dom_inv"])))
+                                xtabs=(tb[f"fold{depth}"], tb[f"foldi{depth}"])))
         remainder_std = layer_stds[-1]                          # [L, rem]
 
-        trees_cat = jnp.concatenate(tree_flats, axis=0)
+        trees_cat = jnp.concatenate(tree_flats, axis=1)         # [8, sum rows]
         e_std = jnp.stack(e_vectors_std)                        # [V, L, Ne]
         vals_cat = jnp.concatenate(layer_stds, axis=1)          # [L, sum]
         roots_cat = jnp.stack(roots)                            # [1+layers, 8]

@@ -20,7 +20,8 @@ def test_digest_reduction_matches_int_be(modulus):
     dev = field.device
     rng = np.random.RandomState(7)
     digests_bytes = [rng.bytes(32) for _ in range(9)]
-    words = jnp.asarray(np.stack([bytes_to_words_le(b) for b in digests_bytes]))
+    words = jnp.asarray(np.stack([bytes_to_words_le(b) for b in digests_bytes],
+                                 axis=1))                 # word-major [8, N]
     got = dev.to_ints(digest_words_to_field_mont(field, words))
     want = [int.from_bytes(b, "big") % modulus for b in digests_bytes]
     assert got == want

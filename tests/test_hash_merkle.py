@@ -20,7 +20,7 @@ def test_digest_rows_matches_hashlib(alg, ref, msg_bytes):
     rng = random.Random(msg_bytes)
     h = create_hash(alg)
     msgs = [bytes(rng.randrange(256) for _ in range(msg_bytes)) for _ in range(5)]
-    words = jnp.asarray(np.stack([bytes_to_words_le(m) for m in msgs]))
+    words = jnp.asarray(np.stack([bytes_to_words_le(m) for m in msgs], axis=1))
     got = digests_to_bytes(np.asarray(h.digest_rows(words, msg_bytes)))
     assert got == [ref(m).digest() for m in msgs]
 
@@ -59,9 +59,10 @@ def test_merkle_tree_and_batch_proofs():
     h = create_hash("sha256")
     n = 64
     leaves = [hashlib.sha256(bytes([i])).digest() for i in range(n)]
-    words = jnp.asarray(np.stack([bytes_to_words_le(l) for l in leaves]))
+    # word-major [8, n] leaf digests
+    words = jnp.asarray(np.stack([bytes_to_words_le(l) for l in leaves], axis=1))
     # device-built tree equals host-built tree
-    tree_d = MerkleTree.create(words.reshape(n, 8), h)
+    tree_d = MerkleTree.create(words, h)
     tree_h = MerkleTree.create_from_bytes(leaves, h)
     assert tree_d.root == tree_h.root
     assert tree_d.depth == 6
