@@ -57,6 +57,10 @@ def _emit(note=None):
         "security_level": _state["security"],
         "platform": jax.devices()[0].platform,
     }
+    if steps not in BASELINES:
+        # the reference published only 2^13 and 2^17; other sizes compare
+        # against a linear extrapolation of its scaling
+        out["baseline_extrapolated"] = True
     if note:
         out["note"] = note
     print(json.dumps(out), flush=True)

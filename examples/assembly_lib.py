@@ -1,31 +1,34 @@
-"""AirAssembly stdlib demos: instantiate components straight from the
-reference's `.aa` sources (/root/reference/examples/assembly/lib128.ts and
-lib224.ts).
+"""AirAssembly stdlib demos: Poseidon hash / Merkle root / Merkle update /
+Schnorr components from the framework's OWN generated stdlib
+(genstark_tpu/stdlib — behavioral spec:
+/root/reference/examples/assembly/lib128.ts and lib224.ts).
 
-- lib128.aa (p = 2^128 - 9*2^32 + 1): ComputePoseidonHash (6 regs),
+- lib128 (p = 2^128 - 9*2^32 + 1): ComputePoseidonHash (6 regs),
   ComputeMerkleRoot (12 regs), ComputeMerkleUpdate (24 regs).
-- lib224.aa (p = 2^224 - 2^96 + 1): the 3-wide Poseidon variants plus
+- lib224 (p = 2^224 - 2^96 + 1): the 3-wide Poseidon variants plus
   VerifySchnorrSignature (14 regs x 256 steps over secp224r1,
   /root/reference/assembly/README.md:55-68).
 
+The reference checkout is NOT required: the sources are generated from the
+repo's own constant derivations.  tests/test_assembly_stdlib.py
+cross-checks the generated modules against the reference's `.aa` files when
+those are present on disk.
+
 Oracles: poseidon_utils.create_hash with the same prng-derived round
-constants the `.aa` cycles declare.
+constants the generated cycles declare.
 """
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import List, Optional
 
 from genstark_tpu import instantiate
 from genstark_tpu.field import P128, P224, create_prime_field
 from genstark_tpu.protocol import Assertion
+from genstark_tpu.stdlib import lib128_source, lib224_source
 
 from .poseidon_utils import (MerkleTree, MerkleTree2, create_hash,
                              to_binary_array, transpose)
-
-LIB128 = Path("/root/reference/assembly/lib128.aa")
-LIB224 = Path("/root/reference/assembly/lib224.aa")
 
 F_ROUNDS, P_ROUNDS, SBOX = 8, 55, 5
 STEPS = 64
@@ -39,8 +42,8 @@ OPTIONS_224 = dict(OPTIONS_128)       # lib224.ts:29-35
 
 def make_stark(lib: str, component: str, options: Optional[dict] = None,
                logger=None):
-    path = LIB128 if lib == "128" else LIB224
-    return instantiate(path.read_text(), component,
+    source = lib128_source() if lib == "128" else lib224_source()
+    return instantiate(source, component,
                        options or dict(OPTIONS_128 if lib == "128"
                                        else OPTIONS_224), logger)
 

@@ -17,6 +17,8 @@ from genstark_tpu import instantiate
 from genstark_tpu.field import P224
 from genstark_tpu.protocol import Assertion
 
+# On-disk reference source (optional): when absent, the framework's own
+# generated equivalent (genstark_tpu/stdlib.pointmul_source) is used.
 POINTMUL_AA = Path("/root/reference/examples/elliptic/pointmul.aa")
 
 DEFAULT_OPTIONS = {                     # pointMul.ts:11-17
@@ -71,8 +73,13 @@ def to_bits(value: int, length: int = 256) -> List[int]:
     return [(value >> i) & 1 for i in range(length)]
 
 
-def make_pointmul_stark(options: Optional[dict] = None, logger=None):
-    src = POINTMUL_AA.read_text()
+def make_pointmul_stark(options: Optional[dict] = None, logger=None,
+                        use_reference_source: bool = False):
+    if use_reference_source:
+        src = POINTMUL_AA.read_text()
+    else:
+        from genstark_tpu.stdlib import pointmul_source
+        src = pointmul_source()
     return instantiate(src, "default", options or dict(DEFAULT_OPTIONS), logger)
 
 

@@ -18,7 +18,11 @@ from genstark_tpu.protocol import Assertion
 from .assembly_lib import STEPS, poseidon_oracle
 from .poseidon_utils import MerkleTree2, to_binary_array
 
-ASSEMBLY_DIR = "/root/reference/assembly"
+# No filesystem path: the `'../assembly/lib*.aa'` imports resolve to the
+# framework's own generated stdlib (genstark_tpu/stdlib), so these examples
+# run without the reference checkout.  Point this at a directory to use
+# on-disk `.aa` sources instead.
+ASSEMBLY_DIR = None
 
 OPTIONS = {                          # merkleProof.ts:30-36
     "hash_algorithm": "blake2s256",

@@ -369,9 +369,20 @@ class ScriptCompiler:
                 candidates.append(Path(self.base_path) / Path(rel).name)
                 candidates.append(Path(self.base_path) / rel)
             path = next((c for c in candidates if c.exists()), None)
-            if path is None:
-                raise AirScriptError(f"cannot resolve import path {rel!r}")
-            source = path.read_text()
+            if path is not None:
+                source = path.read_text()
+            else:
+                # built-in stdlib: lib128.aa / lib224.aa imports resolve to
+                # the framework's own generated sources when no file exists
+                # on disk (genstark_tpu/stdlib), so AirScript programs that
+                # import the stdlib run without any external checkout
+                from .. import stdlib
+                builtin = {"lib128.aa": stdlib.lib128_source,
+                           "lib224.aa": stdlib.lib224_source}
+                gen = builtin.get(Path(rel).name)
+                if gen is None:
+                    raise AirScriptError(f"cannot resolve import path {rel!r}")
+                source = gen()
             for exported, alias in names:
                 schema = compile_assembly(source, exported)
                 inputs, masks, cycles = [], [], []

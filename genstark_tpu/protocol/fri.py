@@ -286,30 +286,35 @@ def _domain_tables(field: PrimeField, root_of_unity: int, size: int):
 
 def fold_traced(field: PrimeField, root_of_unity: int, domain_size: int,
                 depth: int, values: jnp.ndarray, c_s: jnp.ndarray,
-                c_s2: jnp.ndarray, domain_tables=None) -> jnp.ndarray:
+                c_s2: jnp.ndarray, domain_tables=None, xtabs=None) -> jnp.ndarray:
     """Traceable quartic fold at `depth`: values [L, N] -> [L, N/4], where
     N = domain_size / 4^depth.  c_s / c_s2 are specialX and specialX^2 as
     [L, 1] Montgomery arrays (traced — they come from the transcript).
     domain_tables: optional (fwd, inv) [L, domain_size] power tables passed
-    as traced program parameters (the fused prover's table pack)."""
+    as traced program parameters.  xtabs: optional (x_tab, ix_tab) [L, N/4]
+    per-depth tables of (w^(4^depth))^i and its inverse — the fused prover
+    passes these directly so the full-domain tables are never materialized
+    (at Ne = 2^24 each would be a 512 MB array)."""
     f = field.host
     dev = field.device
-    fwd, inv = domain_tables if domain_tables is not None else \
-        _domain_tables(field, root_of_unity, domain_size)
     stride = 4 ** depth
     N = domain_size // stride
+    M = N // 4
+    if xtabs is not None:
+        x_tab, ix_tab = xtabs
+    else:
+        fwd, inv = domain_tables if domain_tables is not None else \
+            _domain_tables(field, root_of_unity, domain_size)
+        # every stride-th domain power, via gather: a strided lax.slice at
+        # large stride makes XLA:TPU stage the whole source region through
+        # scoped VMEM (OOMs at Ne = 2^21), a gather does not
+        pick = jax.lax.iota(jnp.int32, M) * jnp.int32(stride)
+        x_tab = jnp.take(fwd, pick, axis=1)
+        ix_tab = jnp.take(inv, pick, axis=1)
 
     q = f.exp(root_of_unity, domain_size // 4)       # primitive 4th root
     inv4 = f.inv(4)
     inv_q = f.inv(q)
-
-    M = N // 4
-    # every stride-th domain power, via gather: a strided lax.slice at large
-    # stride makes XLA:TPU stage the whole source region through scoped VMEM
-    # (OOMs at Ne = 2^21), a gather does not
-    pick = jax.lax.iota(jnp.int32, M) * jnp.int32(stride)
-    x_tab = jnp.take(fwd, pick, axis=1)
-    ix_tab = jnp.take(inv, pick, axis=1)
 
     c_q = dev.const(q, shape=(1,))
     c4 = dev.const(inv4, shape=(1,))

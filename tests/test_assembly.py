@@ -73,8 +73,8 @@ def test_mimc_assembly_end_to_end():
 
 
 def test_lib128_poseidon_schema_compiles():
-    src = Path("/root/reference/assembly/lib128.aa").read_text()
-    schema = compile_assembly(src, "ComputePoseidonHash")
+    from genstark_tpu.stdlib import lib128_source
+    schema = compile_assembly(lib128_source(), "ComputePoseidonHash")
     assert schema.trace_width == 6
     assert len(schema.constraints) == 6
     assert len(schema.static_registers) == 12
@@ -84,15 +84,16 @@ def test_lib128_poseidon_schema_compiles():
 
 
 def test_lib128_merkle_schemas_compile():
-    src = Path("/root/reference/assembly/lib128.aa").read_text()
+    from genstark_tpu.stdlib import lib128_source
+    src = lib128_source()
     for name, width in [("ComputeMerkleRoot", 12), ("ComputeMerkleUpdate", 24)]:
         schema = compile_assembly(src, name)
         assert schema.trace_width == width
 
 
 def test_pointmul_schema_compiles():
-    src = Path("/root/reference/examples/elliptic/pointmul.aa").read_text()
-    schema = compile_assembly(src)
+    from genstark_tpu.stdlib import pointmul_source
+    schema = compile_assembly(pointmul_source())
     assert schema.trace_width == 8
     # (steps 1): each scalar bit spans one step; trace length comes from the
     # 256 input bits at proving time

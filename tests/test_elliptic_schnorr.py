@@ -17,6 +17,8 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from examples import assembly_lib, elliptic
+from genstark_tpu.stdlib import lib224_source as _lib224
+from genstark_tpu.stdlib import pointmul_source
 from examples.poseidon_utils import get_mds_matrix
 from genstark_tpu.air.assembly import compile_assembly
 from genstark_tpu.air.ir import eval_host
@@ -46,7 +48,7 @@ def test_ec_oracle_matches_reference_controls():
 
 
 def test_pointmul_trace_matches_oracle():
-    schema = compile_assembly(elliptic.POINTMUL_AA.read_text(), "default")
+    schema = compile_assembly(pointmul_source(), "default")
     inputs = [[elliptic.G_X], [elliptic.G_Y],
               [elliptic.to_bits(elliptic.SCALAR)]]
     rows = host_trace(schema, inputs)
@@ -55,8 +57,9 @@ def test_pointmul_trace_matches_oracle():
 
 
 def test_lib224_mds_matches_derivation():
+    from genstark_tpu.stdlib import lib224_source
     field = create_prime_field(P224)
-    text = assembly_lib.LIB224.read_text()
+    text = lib224_source()
     lines = text.splitlines()
     start = next(i for i, l in enumerate(lines) if "(const $mds matrix" in l)
     literal = [[int(v) for v in re.findall(r"\d+", lines[start + 1 + r])]
@@ -66,7 +69,7 @@ def test_lib224_mds_matches_derivation():
 
 def test_lib224_poseidon_hash_matches_oracle():
     field, oracle = assembly_lib.poseidon_oracle("224")
-    schema = compile_assembly(assembly_lib.LIB224.read_text(),
+    schema = compile_assembly(_lib224(),
                               "ComputePoseidonHash")
     rows = host_trace(schema, [[42], [43]])
     control = oracle([42, 43])
@@ -80,14 +83,14 @@ def test_lib224_merkle_root_matches_oracle():
     tree = MerkleTree2(field.prng(b"\x2a", 2 ** depth), oracle)
     branch = tree.prove(index)
     bits = [0] + to_binary_array(index, depth)[:-1]
-    schema = compile_assembly(assembly_lib.LIB224.read_text(),
+    schema = compile_assembly(_lib224(),
                               "ComputeMerkleRoot")
     rows = host_trace(schema, [[branch[0]], [branch[1:]], [bits]])
     assert rows[-1][0] == tree.root
 
 
 def test_schnorr_trace_verifies_signature():
-    schema = compile_assembly(assembly_lib.LIB224.read_text(),
+    schema = compile_assembly(_lib224(),
                               "VerifySchnorrSignature")
     g, p, r = (assembly_lib.SCHNORR_G, assembly_lib.SCHNORR_P,
                assembly_lib.SCHNORR_R)

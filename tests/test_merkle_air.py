@@ -24,7 +24,8 @@ DEPTH = 4
 
 @pytest.fixture(scope="module")
 def merkle_stark():
-    src = Path("/root/reference/assembly/lib128.aa").read_text()
+    from genstark_tpu.stdlib import lib128_source
+    src = lib128_source()
     schema = compile_assembly(src, "ComputeMerkleRoot")
     stark = instantiate(schema, options={
         "hash_algorithm": "blake2s256", "extension_factor": 16,

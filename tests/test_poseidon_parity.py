@@ -25,7 +25,8 @@ from genstark_tpu.air.assembly import compile_assembly
 from genstark_tpu.air.ir import eval_host
 from genstark_tpu.field import P128, create_prime_field
 
-LIB128 = Path("/root/reference/assembly/lib128.aa").read_text()
+from genstark_tpu.stdlib import lib128_source
+LIB128 = lib128_source()
 F_ROUNDS, P_ROUNDS, WIDTH, SBOX = 8, 55, 6, 5
 STEPS = F_ROUNDS + P_ROUNDS + 1    # 64
 
