@@ -32,6 +32,15 @@ from . import blake2s as _blake2s
 HASH_ALGORITHMS = ("sha256", "blake2s256")
 
 
+def _use_pallas_hash() -> bool:
+    import os
+
+    import jax
+    if os.environ.get("GENSTARK_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def digests_to_bytes(digests: np.ndarray) -> List[bytes]:
     """uint32[8, B] word-major LE-word digests -> list of 32-byte digests."""
     arr = np.ascontiguousarray(digests.astype("<u4").T)
@@ -74,7 +83,18 @@ class Hash:
 
     # ----- device batch paths ----------------------------------------------
     def digest_rows(self, words_le: jnp.ndarray, msg_bytes: int) -> jnp.ndarray:
-        """Hash B equal-size messages: uint32[W, B] LE words -> [8, B]."""
+        """Hash B equal-size messages: uint32[W, B] LE words -> [8, B].
+
+        On real TPUs large batches take the Pallas kernel (all rounds
+        unrolled over in-register word vectors — hash/pallas_hash.py);
+        elsewhere the fori_loop jnp compressors (small compiled programs,
+        shard_map-compatible)."""
+        if _use_pallas_hash():
+            from . import pallas_hash
+            batch = words_le.shape[1]
+            if pallas_hash.supported(batch):
+                return pallas_hash.digest_rows_le(words_le, msg_bytes,
+                                                  self.algorithm)
         return self._mod.digest_rows_le(words_le, msg_bytes)
 
     def merge_element_rows(self, vectors_std: Sequence[jnp.ndarray],

@@ -1,0 +1,170 @@
+"""Pallas TPU kernels for batched sha256 / blake2s256 compression.
+
+The jnp compressors (sha256.py / blake2s.py) keep the per-program footprint
+small by running rounds in a fori_loop + switch — the right trade for
+programs that are compiled over the tunnelled backend once and dispatched
+rarely.  But as the Merkle workhorse they leave a lot on the table: every
+round re-materializes the [16, B] state through HBM-visible stacks.  This
+kernel unrolls ALL rounds over Python-list word variables inside VMEM — the
+state never exists as an array at all, just 16 live (1, TB) vector values —
+so one grid step streams a [W, TB] message block from HBM, does the whole
+compression in-register, and writes [8, TB] out.  This is the analog of the
+reference's WASM blake2s hot path (/root/reference/lib/Stark.ts:113-118).
+
+Layout matches the hash layer: word-major uint32[W, B] messages in,
+uint32[8, B] digests out, LE-byte words.  Message padding (terminator bytes,
+bit lengths, zero blocks) is synthesized in-kernel from static word indices,
+so the caller passes exactly the raw message words.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import blake2s as _b2
+from . import sha256 as _sh
+
+_LANES = 2048          # batch lanes per grid step
+
+
+def _rotr(x, n):
+    return (x >> np.uint32(n)) | (x << np.uint32(32 - n))
+
+
+def _bswap(x):
+    return ((x >> np.uint32(24)) |
+            ((x >> np.uint32(8)) & np.uint32(0xFF00)) |
+            ((x << np.uint32(8)) & np.uint32(0xFF0000)) |
+            (x << np.uint32(24)))
+
+
+def _blake2s_kernel(msg_ref, out_ref, *, n_words, msg_bytes, tb):
+    n_blocks = max(1, (msg_bytes + 63) // 64)
+
+    def word(i):
+        if i < n_words:
+            return msg_ref[i:i + 1, :]
+        return jnp.zeros((1, tb), jnp.uint32)
+
+    h = [jnp.full((1, tb), np.uint32(v), jnp.uint32) for v in _b2._IV]
+    h[0] = h[0] ^ np.uint32(0x01010020)       # digest_length=32, fanout/depth=1
+
+    for blk in range(n_blocks):
+        last = blk == n_blocks - 1
+        t = msg_bytes if last else (blk + 1) * 64
+        m = [word(blk * 16 + j) for j in range(16)]
+        v = list(h) + [jnp.full((1, tb), np.uint32(x), jnp.uint32)
+                       for x in _b2._IV]
+        v[12] = v[12] ^ np.uint32(t & 0xFFFFFFFF)
+        # t >> 32 is always 0 here (messages are tiny); v[13] unchanged
+        if last:
+            v[14] = v[14] ^ np.uint32(0xFFFFFFFF)
+
+        for s in _b2._SIGMA:
+            for gi, (a, b, c, d) in enumerate(
+                    ((0, 4, 8, 12), (1, 5, 9, 13), (2, 6, 10, 14),
+                     (3, 7, 11, 15), (0, 5, 10, 15), (1, 6, 11, 12),
+                     (2, 7, 8, 13), (3, 4, 9, 14))):
+                x, y = m[s[2 * gi]], m[s[2 * gi + 1]]
+                va, vb, vc, vd = v[a], v[b], v[c], v[d]
+                va = va + vb + x
+                vd = _rotr(vd ^ va, 16)
+                vc = vc + vd
+                vb = _rotr(vb ^ vc, 12)
+                va = va + vb + y
+                vd = _rotr(vd ^ va, 8)
+                vc = vc + vd
+                vb = _rotr(vb ^ vc, 7)
+                v[a], v[b], v[c], v[d] = va, vb, vc, vd
+
+        h = [h[i] ^ v[i] ^ v[i + 8] for i in range(8)]
+
+    for i in range(8):
+        out_ref[i:i + 1, :] = h[i]
+
+
+def _sha256_kernel(msg_ref, out_ref, *, n_words, msg_bytes, tb):
+    n_blocks = (msg_bytes + 9 + 63) // 64
+    term_word = msg_bytes // 4
+    term_be = np.uint32(int(_bswap(np.uint32(0x80 << ((msg_bytes % 4) * 8)))))
+    bitlen = msg_bytes * 8
+
+    def word(i):
+        # BE word i of the padded message, synthesized from static index
+        base = None
+        if i < n_words:
+            base = _bswap(msg_ref[i:i + 1, :])
+        extra = np.uint32(0)
+        if i == term_word:
+            extra = term_be
+        if i == n_blocks * 16 - 1:
+            extra = np.uint32(bitlen & 0xFFFFFFFF)
+        if i == n_blocks * 16 - 2:
+            extra = np.uint32(bitlen >> 32)
+        if base is None:
+            return jnp.full((1, tb), extra, jnp.uint32)
+        return base ^ extra if extra else base
+
+    v = [jnp.full((1, tb), np.uint32(x), jnp.uint32) for x in _sh._H0]
+    for blk in range(n_blocks):
+        w = [word(blk * 16 + j) for j in range(16)]
+        a, b, c, d, e, f, g, h = v
+        for r in range(64):
+            if r >= 16:
+                w1, w9, w14 = w[(r + 1) % 16], w[(r + 9) % 16], w[(r + 14) % 16]
+                s0 = _rotr(w1, 7) ^ _rotr(w1, 18) ^ (w1 >> np.uint32(3))
+                s1 = _rotr(w14, 17) ^ _rotr(w14, 19) ^ (w14 >> np.uint32(10))
+                w[r % 16] = w[r % 16] + s0 + w9 + s1
+            wt = w[r % 16]
+            S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+            ch = (e & f) ^ (~e & g)
+            t1 = h + S1 + ch + np.uint32(int(_sh._K[r])) + wt
+            S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+            maj = (a & b) ^ (a & c) ^ (b & c)
+            a, b, c, d, e, f, g, h = t1 + S0 + maj, a, b, c, d + t1, e, f, g
+        v = [v[0] + a, v[1] + b, v[2] + c, v[3] + d,
+             v[4] + e, v[5] + f, v[6] + g, v[7] + h]
+        a, b, c, d, e, f, g, h = v
+
+    for i in range(8):
+        out_ref[i:i + 1, :] = _bswap(v[i])
+
+
+@lru_cache(maxsize=None)
+def _digest_call(algorithm: str, n_words: int, msg_bytes: int, batch: int,
+                 interpret: bool):
+    tb = min(_LANES, batch)
+    kern = _blake2s_kernel if algorithm == "blake2s256" else _sha256_kernel
+    call = pl.pallas_call(
+        partial(kern, n_words=n_words, msg_bytes=msg_bytes, tb=tb),
+        out_shape=jax.ShapeDtypeStruct((8, batch), jnp.uint32),
+        grid=(batch // tb,),
+        in_specs=[pl.BlockSpec((n_words, tb), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, tb), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
+def supported(batch: int) -> bool:
+    """The kernel wants whole (8, 128)-tile lane blocks."""
+    return batch >= 256 and batch % 256 == 0
+
+
+def digest_rows_le(words_le: jnp.ndarray, msg_bytes: int,
+                   algorithm: str, interpret: bool = False) -> jnp.ndarray:
+    """Pallas path of Hash.digest_rows: uint32[W, B] LE words -> [8, B]."""
+    n_words, batch = words_le.shape
+    assert n_words == (msg_bytes + 3) // 4
+    tb = min(_LANES, batch)
+    assert batch % tb == 0 and batch % 256 == 0
+    return _digest_call(algorithm, n_words, msg_bytes, batch,
+                        interpret)(words_le)

@@ -92,7 +92,21 @@ class FusedProver:
         self.secret_idx = list(context.schema.secret_input_registers)
         self._table_specs = self._build_table_specs()
         self._pack_cache = None       # device table pack, built on first prove
-        if mesh is not None:
+        # Large domains run as THREE stage programs (commit / composition /
+        # FRI) instead of one: the single fused program's XLA temp footprint
+        # at Ne = 2^24 is ~37 GB (HBM is 16), while stage boundaries let the
+        # runtime actually free dead full-domain intermediates.  Small
+        # domains keep the single program (fewest dispatches — each is a
+        # ~30 ms round-trip on the tunnelled backend).
+        import os
+        self._split = (mesh is None and
+                       Ne >= int(os.environ.get("GENSTARK_SPLIT_NE", 1 << 22)))
+        if self._split:
+            self._jit = None
+            self._jit_stages = (jax.jit(self._stage_commit),
+                                jax.jit(self._stage_lcomb),
+                                jax.jit(self._stage_fri))
+        elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             repl = NamedSharding(mesh, P())
             # inputs (trace/statics/interpolants/table pack) are tiny or
@@ -118,21 +132,28 @@ class FusedProver:
         for i in range(len(self.layer_sizes)):
             depths += [tree_sizes[i + 2].bit_length() - 1,
                        tree_sizes[i + 1].bit_length() - 1]
-        cap_rows = sum(p * (1 + d) for p, d in zip(pos_caps, depths))
+        # e-tree rows and FRI-tree rows are gathered from separate buffers
+        # (concatenating them into one tree buffer costs a full extra copy
+        # of the largest array in the program — ~1.4 GB at Ne = 2^24)
+        cap_rows_e = pos_caps[0] * (1 + depths[0])
+        cap_rows_f = sum(p * (1 + d)
+                         for p, d in zip(pos_caps[1:], depths[1:]))
         cap_cols = self.remainder_size + 4 * (exe_q + 2 * fri_q * len(self.layer_sizes))
         cap_evals = 2 * exe_q
-        self._caps = (cap_rows, cap_cols, cap_evals)
+        self._caps = (cap_rows_e, cap_rows_f, cap_cols, cap_evals)
         L = self.field.device.L
         V = context.schema.trace_width + len(self.secret_idx)
 
-        def packed(trees_cat, vals_cat, e_std, idx_rows, idx_cols, idx_e):
-            # trees_cat is word-major [8, rows]; gather along lanes, then
-            # transpose the tiny result so the host unpack stays row-major
-            rows = jnp.take(trees_cat, idx_rows, axis=1).T       # [capR, 8]
+        def packed(e_flat, fri_cat, vals_cat, e_std, idx_re, idx_rf,
+                   idx_cols, idx_e):
+            # tree buffers are word-major [8, rows]; gather along lanes,
+            # then transpose the tiny results so host unpack stays row-major
+            rows_e = jnp.take(e_flat, idx_re, axis=1).T          # [capRe, 8]
+            rows_f = jnp.take(fri_cat, idx_rf, axis=1).T         # [capRf, 8]
             cols = jnp.take(vals_cat, idx_cols, axis=1)          # [L, capC]
             evals = jnp.take(e_std, idx_e, axis=2)               # [V, L, capE]
-            return jnp.concatenate([rows.reshape(-1), cols.reshape(-1),
-                                    evals.reshape(-1)])
+            return jnp.concatenate([rows_e.reshape(-1), rows_f.reshape(-1),
+                                    cols.reshape(-1), evals.reshape(-1)])
 
         self._packed_gather = jax.jit(packed)
 
@@ -235,29 +256,14 @@ class FusedProver:
         return out
 
     # ------------------------------------------------------------------ trace
-    def _pipeline(self, trace_std, statics_std, i_polys_std, tpack):
-        """trace_std: u32[R, L, T] standard limbs; statics_std: u32[K, L, T];
-        i_polys_std: u32[B, L, Tp] boundary interpolant coefficients; tpack:
-        the [L, total] packed power tables (see _build_table_specs).
-
-        Returns (trees_cat, e_std, vals_cat, roots, remainder_std):
-          trees_cat  [8, sum tree rows]  — e-tree then each FRI layer tree
-                                           (word-major, see hash/merkle)
-          e_std      [V, L, Ne]          — committed evaluation vectors (std)
-          vals_cat   [L, sum layer cols] — FRI layer values (std), lc first
-          roots      [1 + n_layers, 8]   — e-root, lc-root, column roots...
-          remainder_std [L, remainder]
-        """
+    def _helpers(self, tpack):
+        """Shared traced helpers (tables, mesh sharding, layout pinning,
+        transforms) used by the stage methods."""
         context = self.context
         field = self.field
         dev = field.device
         f = field.host
-        hash_ = self.hash
-        Ne = self.Ne
-        Nc = context.composition_domain_size
         T = context.trace_length
-        R = context.schema.trace_width
-        elem = field.element_size
         tb = self._slice_tables(tpack)
 
         mesh = self.mesh
@@ -273,6 +279,17 @@ class FusedProver:
                 return x
             spec = P(*([None] * (x.ndim - 1) + [ax]))
             return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+        def pin_rows_minor(x):
+            """Pin a word-major [8, rows] digest buffer to the rows-minor
+            layout.  XLA's layout assignment sometimes normalizes these to
+            {0,1} (8-wide minor), which tile-pads 8 lanes -> 128 — a 16x HBM
+            blowup that OOMs the 2^24-domain Merkle buffers (observed: a
+            22 GB allocation for the 1.4 GB tree concat)."""
+            if mesh is not None or jax.default_backend() != "tpu":
+                return x
+            from jax.experimental.layout import Layout, with_layout_constraint
+            return with_layout_constraint(x, Layout(major_to_minor=(0, 1)))
 
         def transform(x, n, w_table):
             if mesh is not None and can_distribute(n, n_dev):
@@ -290,7 +307,24 @@ class FusedProver:
             pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
             return transform(jnp.pad(x, pad), n, tb[w_key])
 
-        # ----- 3. P(x) polynomials + LDE -------------------------------------
+        return tb, shard_dom, pin_rows_minor, intt_t, lde
+
+    def _stage_commit(self, trace_std, statics_std, tpack):
+        """Reference steps 3-4 (/root/reference/lib/Stark.ts:104-119):
+        trace interpolation, LDE, static-register evaluations, evaluation
+        Merkle tree.  Returns
+        (p_polys, p_evals, s_evals [S,L,Ne], static_evals_nc, e_std, e_flat,
+         e_root)."""
+        context = self.context
+        field = self.field
+        dev = field.device
+        hash_ = self.hash
+        Ne = self.Ne
+        Nc = context.composition_domain_size
+        R = context.schema.trace_width
+        elem = field.element_size
+        tb, shard_dom, pin_rows_minor, intt_t, lde = self._helpers(tpack)
+
         trace = _to_mont_batch(dev, trace_std)                  # [R, L, T]
         p_polys = intt_t(trace)
         p_evals = lde(p_polys, Ne, "w_Ne")                      # [R, L, Ne]
@@ -307,14 +341,35 @@ class FusedProver:
             static_evals_nc = jnp.zeros((0, dev.L, Nc), dtype=jnp.uint32)
             s_evals = []
 
-        # ----- 4. evaluation tree ---------------------------------------------
         e_vectors_std = [dev._from_mont(p_evals[r]) for r in range(R)]
         e_vectors_std += [dev._from_mont(s) for s in s_evals]
-        leaves = shard_dom(hash_.merge_element_rows(e_vectors_std, elem))
-        e_flat = build_tree_flat(hash_, leaves, Ne)
+        leaves = shard_dom(pin_rows_minor(
+            hash_.merge_element_rows(e_vectors_std, elem)))
+        e_flat = pin_rows_minor(build_tree_flat(hash_, leaves, Ne))
         e_root = fs.root_words(e_flat, Ne)
 
-        # ----- transcript coefficients (device PRNG seeded by e-root) --------
+        s_stack = (jnp.stack(s_evals) if s_evals
+                   else jnp.zeros((0, dev.L, Ne), dtype=jnp.uint32))
+        e_std = jnp.stack(e_vectors_std)                        # [V, L, Ne]
+        return (p_polys, p_evals, s_stack, static_evals_nc, e_std, e_flat,
+                e_root)
+
+    def _stage_lcomb(self, p_polys, p_evals, s_stack, static_evals_nc,
+                     i_polys_std, e_root, tpack):
+        """Reference steps 5-6 (Stark.ts:121-131): composition polynomial +
+        random linear combination, with the transcript coefficients derived
+        on device from the e-tree root.  Returns l_evals [L, Ne]."""
+        context = self.context
+        field = self.field
+        dev = field.device
+        Ne = self.Ne
+        Nc = context.composition_domain_size
+        T = context.trace_length
+        R = context.schema.trace_width
+        K = static_evals_nc.shape[0]
+        tb, shard_dom, _, _, lde = self._helpers(tpack)
+        s_evals = [s_stack[i] for i in range(s_stack.shape[0])]
+
         n_ps = (R + len(s_evals)) * (2 if self.l_comb.ps_incremental_degree > 0
                                      else 1)
         total = self.c_poly.coefficient_count + n_ps
@@ -325,7 +380,6 @@ class FusedProver:
         b_coeffs = stream[:, dc:dc + bc]
         l_coeffs = stream[:, dc + bc:]
 
-        # ----- 5. composition polynomial --------------------------------------
         cf = Nc // T
         p_evals_nc = lde(p_polys, Nc, "w_Nc")
         n_evals_nc = jnp.roll(p_evals_nc, -cf, axis=-1)
@@ -351,27 +405,39 @@ class FusedProver:
             b_coeffs_mont=b_coeffs, b_ipolys_mont=i_polys_mont, q_evals=q_evals,
             tables=c_tables))
 
-        # ----- 6. linear combination ------------------------------------------
         ps = [p_evals[r] for r in range(R)] + list(s_evals)
         if self.l_comb.ps_incremental_degree > 0:
             ps = ps + [dev.mont_mul(v, tb["incr"]) for v in ps]
-        l_evals = shard_dom(dev._add(c_evals, dev.combine_many_mont(ps, l_coeffs)))
+        return shard_dom(dev._add(c_evals, dev.combine_many_mont(ps, l_coeffs)))
 
-        # ----- 7. FRI chain ----------------------------------------------------
-        # Every layer gets a committed tree — INCLUDING the final remainder
-        # layer, whose root is the last column root the verifier re-commits
-        # against (/root/reference/lib/components/LowDegreeProver.ts:161-167).
-        # The fold of layer d is seeded by layer d's own tree root.
-        roots = [e_root]
-        tree_flats = [e_flat]
+    def _stage_fri(self, l_evals, tpack):
+        """Reference step 7 (Stark.ts:133-144 + LowDegreeProver): the full
+        fold-by-4 FRI chain with per-layer Merkle commitments.  Every layer
+        gets a committed tree — INCLUDING the final remainder layer, whose
+        root is the last column root the verifier re-commits against
+        (/root/reference/lib/components/LowDegreeProver.ts:161-167); the fold
+        of layer d is seeded by layer d's own tree root.  Returns
+        (fri_cat [8, sum rows], vals_cat [L, sum cols], roots [1+layers, 8],
+         remainder_std)."""
+        context = self.context
+        field = self.field
+        dev = field.device
+        hash_ = self.hash
+        Ne = self.Ne
+        elem = field.element_size
+        tb, shard_dom, pin_rows_minor, _, _ = self._helpers(tpack)
+
+        roots = []
+        tree_flats = []
         layer_stds = []
         values = l_evals
         all_layers = self.layer_sizes + [self.remainder_size]
         for depth, n in enumerate(all_layers):
             v_std = dev._from_mont(values)
             layer_stds.append(v_std)
-            row_hashes = shard_dom(hash_.digest_stride_rows(v_std, elem))
-            flat = build_tree_flat(hash_, row_hashes, n // 4)
+            row_hashes = shard_dom(pin_rows_minor(
+                hash_.digest_stride_rows(v_std, elem)))
+            flat = pin_rows_minor(build_tree_flat(hash_, row_hashes, n // 4))
             tree_flats.append(flat)
             cur_root = fs.root_words(flat, n // 4)
             roots.append(cur_root)
@@ -387,11 +453,37 @@ class FusedProver:
                                 xtabs=(tb[f"fold{depth}"], tb[f"foldi{depth}"])))
         remainder_std = layer_stds[-1]                          # [L, rem]
 
-        trees_cat = jnp.concatenate(tree_flats, axis=1)         # [8, sum rows]
-        e_std = jnp.stack(e_vectors_std)                        # [V, L, Ne]
+        fri_cat = pin_rows_minor(jnp.concatenate(tree_flats, axis=1))
         vals_cat = jnp.concatenate(layer_stds, axis=1)          # [L, sum]
-        roots_cat = jnp.stack(roots)                            # [1+layers, 8]
-        return trees_cat, e_std, vals_cat, roots_cat, remainder_std
+        roots_cat = jnp.stack(roots)                            # [layers+1, 8]
+        return fri_cat, vals_cat, roots_cat, remainder_std
+
+    def _pipeline(self, trace_std, statics_std, i_polys_std, tpack):
+        """The whole prover (reference steps 3-7, Stark.ts:104-144) as ONE
+        traced program — used for small/medium domains where a single
+        dispatch wins.  Large domains run the three stage programs instead
+        (see _split in __init__): one program's XLA temp footprint for the
+        full pipeline at Ne = 2^24 exceeds HBM (measured 37 GB unpadded),
+        while per-stage programs fit because dead full-domain intermediates
+        are actually freed at stage boundaries.
+
+        Returns (e_flat, fri_cat, e_std, vals_cat, roots, remainder_std):
+          e_flat   [8, e-tree rows]      — evaluation tree (word-major)
+          fri_cat  [8, sum fri rows]     — FRI layer trees, concatenated
+          e_std    [V, L, Ne]            — committed evaluation vectors (std)
+          vals_cat [L, sum layer cols]   — FRI layer values (std), lc first
+          roots    [1 + n_layers, 8]     — e-root, lc-root, column roots...
+          remainder_std [L, remainder]
+        """
+        (p_polys, p_evals, s_stack, static_evals_nc, e_std, e_flat,
+         e_root) = self._stage_commit(trace_std, statics_std, tpack)
+        l_evals = self._stage_lcomb(p_polys, p_evals, s_stack,
+                                    static_evals_nc, i_polys_std, e_root,
+                                    tpack)
+        fri_cat, vals_cat, fri_roots, remainder_std = self._stage_fri(
+            l_evals, tpack)
+        roots_cat = jnp.concatenate([e_root[None], fri_roots], axis=0)
+        return e_flat, fri_cat, e_std, vals_cat, roots_cat, remainder_std
 
     # --------------------------------------------------------------- assembly
     def prove(self, trace_std: np.ndarray) -> StarkProof:
@@ -409,11 +501,27 @@ class FusedProver:
         statics_np = self._statics_std()
         i_polys_np = self.c_poly.b_poly.i_polys_std()
         marks.append(("host prep", time.monotonic()))
-        trees_cat, e_std, vals_cat, roots_cat, remainder_dev = self._jit(
-            jnp.asarray(trace_std), jnp.asarray(statics_np),
-            jnp.asarray(i_polys_np), self._get_pack())
-
-        roots_np = np.asarray(roots_cat).astype("<u4")          # tiny sync
+        if self._split:
+            jit_a, jit_b, jit_c = self._jit_stages
+            (p_polys, p_evals, s_stack, statics_nc, e_std, e_flat,
+             e_root_dev) = jit_a(jnp.asarray(trace_std),
+                                 jnp.asarray(statics_np), self._get_pack())
+            l_evals = jit_b(p_polys, p_evals, s_stack, statics_nc,
+                            jnp.asarray(i_polys_np), e_root_dev,
+                            self._get_pack())
+            # free the full-domain stage inputs before the FRI chain runs
+            del p_polys, p_evals, s_stack, statics_nc
+            fri_cat, vals_cat, fri_roots, remainder_dev = jit_c(
+                l_evals, self._get_pack())
+            del l_evals
+            roots_np = np.concatenate(
+                [np.asarray(e_root_dev)[None], np.asarray(fri_roots)],
+                axis=0).astype("<u4")
+        else:
+            e_flat, fri_cat, e_std, vals_cat, roots_cat, remainder_dev = \
+                self._jit(jnp.asarray(trace_std), jnp.asarray(statics_np),
+                          jnp.asarray(i_polys_np), self._get_pack())
+            roots_np = np.asarray(roots_cat).astype("<u4")      # tiny sync
         marks.append(("pipeline+roots sync", time.monotonic()))
         root_bytes = [roots_np[i].tobytes() for i in range(roots_np.shape[0])]
         e_root = root_bytes[0]
@@ -425,10 +533,12 @@ class FusedProver:
         exe_positions = idx_gen.get_exe_indexes(lc_root, Ne)
         ld_prover = LowDegreeProver(idx_gen, self.hash, context)
 
-        # per-tree proof plans (host bookkeeping, zero device traffic)
+        # per-tree proof plans (host bookkeeping, zero device traffic);
+        # tree 0 rows live in e_flat, trees 1.. in the fri_cat buffer
         all_layers = self.layer_sizes + [self.remainder_size]
         tree_sizes = [Ne] + [n // 4 for n in all_layers]
-        tree_offsets = np.cumsum([0] + [tree_row_count(n) for n in tree_sizes])
+        fri_offsets = np.cumsum([0] + [tree_row_count(n)
+                                       for n in tree_sizes[1:]])
         plans = []          # (tree_index, positions, emissions, coords)
 
         def plan(tree_index, positions):
@@ -455,12 +565,16 @@ class FusedProver:
         # --- ONE packed gather + ONE transfer for every proof byte ------------
         # Index arrays are padded to structure-level caps so the gather
         # program has fixed shapes (one compile per Stark config).
-        all_rows = []
+        rows_e, rows_f = [], []
         for tree_index, _, _, _, coords in plans:
             n = tree_sizes[tree_index]
-            base = int(tree_offsets[tree_index])
-            all_rows += [base + _level_offset(n, level) + idx
-                         for level, idx in coords]
+            if tree_index == 0:
+                rows_e += [_level_offset(n, level) + idx
+                           for level, idx in coords]
+            else:
+                base = int(fri_offsets[tree_index - 1])
+                rows_f += [base + _level_offset(n, level) + idx
+                           for level, idx in coords]
 
         V = e_std.shape[0]
         L = self.field.device.L
@@ -478,28 +592,39 @@ class FusedProver:
             base = int(layer_col_offsets[layer])
             val_idx += [base + r + j * m for r in rows for j in range(4)]
 
-        capR, capC, capE = self._caps
-        rows_pad = np.zeros(capR, dtype=np.int32)
-        rows_pad[:len(all_rows)] = all_rows
+        capRe, capRf, capC, capE = self._caps
+        rows_e_pad = np.zeros(capRe, dtype=np.int32)
+        rows_e_pad[:len(rows_e)] = rows_e
+        rows_f_pad = np.zeros(capRf, dtype=np.int32)
+        rows_f_pad[:len(rows_f)] = rows_f
         cols_pad = np.zeros(capC, dtype=np.int32)
         cols_pad[:len(val_idx)] = val_idx
         e_pad = np.zeros(capE, dtype=np.int32)
         e_pad[:len(e_idx)] = e_idx
         marks.append(("host transcript+plans", time.monotonic()))
         packed = np.asarray(self._packed_gather(
-            trees_cat, vals_cat, e_std, jnp.asarray(rows_pad),
-            jnp.asarray(cols_pad), jnp.asarray(e_pad)))
+            e_flat, fri_cat, vals_cat, e_std, jnp.asarray(rows_e_pad),
+            jnp.asarray(rows_f_pad), jnp.asarray(cols_pad),
+            jnp.asarray(e_pad)))
         marks.append(("packed gather+transfer", time.monotonic()))
-        rows_sec = packed[:capR * 8].reshape(capR, 8).astype("<u4")
-        cols_sec = packed[capR * 8:capR * 8 + L * capC].reshape(L, capC)
-        evals_sec = packed[capR * 8 + L * capC:].reshape(V, L, capE)
+        re_sec = packed[:capRe * 8].reshape(capRe, 8).astype("<u4")
+        off = capRe * 8
+        rf_sec = packed[off:off + capRf * 8].reshape(capRf, 8).astype("<u4")
+        off += capRf * 8
+        cols_sec = packed[off:off + L * capC].reshape(L, capC)
+        evals_sec = packed[off + L * capC:].reshape(V, L, capE)
 
-        fetched_bytes = [rows_sec[i].tobytes() for i in range(len(all_rows))]
+        fetched_e = [re_sec[i].tobytes() for i in range(len(rows_e))]
+        fetched_f = [rf_sec[i].tobytes() for i in range(len(rows_f))]
         proofs = []
-        off = 0
+        off_e = off_f = 0
         for tree_index, positions, depth, emissions, coords in plans:
-            chunk = fetched_bytes[off:off + len(coords)]
-            off += len(coords)
+            if tree_index == 0:
+                chunk = fetched_e[off_e:off_e + len(coords)]
+                off_e += len(coords)
+            else:
+                chunk = fetched_f[off_f:off_f + len(coords)]
+                off_f += len(coords)
             proofs.append(assemble_batch(positions, depth, emissions, chunk))
 
         all_col_ints = limbs_to_ints(cols_sec[:, :len(val_idx)])

@@ -156,6 +156,8 @@ class Stark:
         # the device-resident table pack so a new context/assertion-values
         # never recompiles or re-uploads
         new._jit = old._jit
+        if old._split:
+            new._jit_stages = old._jit_stages
         new._packed_gather = old._packed_gather
         new._pack_cache = old._pack_cache
         return new

@@ -59,8 +59,8 @@ def test_compile_mimc_schema():
 def test_mimc_assembly_end_to_end():
     stark = instantiate(MIMC_AA, "mimc",
                         options={"hash_algorithm": "blake2s256",
-                                 "extension_factor": 16,
-                                 "exe_query_count": 24, "fri_query_count": 12})
+                                 "extension_factor": 8,
+                                 "exe_query_count": 10, "fri_query_count": 6})
     field = stark.air.field
     constants = field.prng(bytes.fromhex("4d694d43"), 32)
     controls = run_mimc(field, STEPS, constants, 3)

@@ -1,6 +1,11 @@
 """End-to-end slice: the README 'Foo' STARK (x' = x + 2, 64 steps, p32 —
 /root/reference/README.md:18-51).  prove -> serialize -> sizeOf check ->
-parse -> verify, plus negative cases."""
+parse -> verify, plus negative cases.
+
+One module-scoped Stark with light query counts: every test shares the same
+compiled fused program (the values differ, the program doesn't), which is
+what keeps this file fast on the compile-bound CPU backend.
+"""
 
 import pytest
 
@@ -25,8 +30,12 @@ def make_foo_stark(**options):
     return instantiate(schema, options=options)
 
 
-def test_foo_prove_verify_roundtrip():
-    stark = make_foo_stark()
+@pytest.fixture(scope="module")
+def stark():
+    return make_foo_stark(exe_query_count=12, fri_query_count=8)
+
+
+def test_foo_prove_verify_roundtrip(stark):
     assertions = [Assertion(step=0, register=0, value=1),
                   Assertion(step=63, register=0, value=127)]
     proof = stark.prove(assertions, [[1]])
@@ -41,16 +50,14 @@ def test_foo_prove_verify_roundtrip():
     assert stark.verify(assertions, parsed)
 
 
-def test_foo_wrong_assertion_rejected_at_prove():
-    stark = make_foo_stark()
+def test_foo_wrong_assertion_rejected_at_prove(stark):
     bad = [Assertion(step=0, register=0, value=1),
            Assertion(step=63, register=0, value=128)]
     with pytest.raises(StarkError):
         stark.prove(bad, [[1]])
 
 
-def test_foo_verify_rejects_wrong_assertions():
-    stark = make_foo_stark()
+def test_foo_verify_rejects_wrong_assertions(stark):
     assertions = [Assertion(step=0, register=0, value=1),
                   Assertion(step=63, register=0, value=127)]
     proof = stark.prove(assertions, [[1]])
@@ -60,8 +67,7 @@ def test_foo_verify_rejects_wrong_assertions():
         stark.verify(bad, proof)
 
 
-def test_foo_verify_rejects_tampered_proof():
-    stark = make_foo_stark()
+def test_foo_verify_rejects_tampered_proof(stark):
     assertions = [Assertion(step=0, register=0, value=1),
                   Assertion(step=63, register=0, value=127)]
     proof = stark.prove(assertions, [[1]])
@@ -72,9 +78,15 @@ def test_foo_verify_rejects_tampered_proof():
         stark.verify(assertions, tampered)
 
 
-def test_foo_different_start_value():
-    stark = make_foo_stark()
+def test_foo_different_start_value(stark):
     assertions = [Assertion(step=0, register=0, value=5),
                   Assertion(step=63, register=0, value=5 + 126)]
     proof = stark.prove(assertions, [[5]])
     assert stark.verify(assertions, proof)
+
+
+def test_foo_default_options_security():
+    # defaults (exe=80, fri=40) only need option validation, not a prove
+    stark = make_foo_stark()
+    assert stark.index_generator.exe_query_count == 80
+    assert stark.index_generator.fri_query_count == 40

@@ -49,6 +49,10 @@ def test_exp_inv(p):
     da = f.device.from_ints(a)
     for e in [0, 1, 2, 3, 5, 65537]:
         assert f.device.to_ints(f.device.exp_static(da, e)) == [pow(x, e, p) for x in a]
+    if p.bit_length() > 128:
+        # the Fermat ladder compiles a p-bit square-multiply chain — minutes
+        # of XLA:CPU compile for the wide fields; covered by the slow test
+        return
     # Fermat inversion (scan ladder path)
     inv = f.device.to_ints(f.device.inv(da))
     for x, ix in zip(a, inv):
@@ -56,6 +60,17 @@ def test_exp_inv(p):
             assert ix == 0
         else:
             assert (x * ix) % p == 1
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("p", [P224, P256])
+def test_inv_wide_fields(p):
+    rng = random.Random(3)
+    f = create_prime_field(p)
+    a = _rand_elems(rng, p, 16)
+    inv = f.device.to_ints(f.device.inv(f.device.from_ints(a)))
+    for x, ix in zip(a, inv):
+        assert (x * ix) % p == (1 if x else 0)
 
 
 @pytest.mark.parametrize("p", [P32, P128])

@@ -22,9 +22,9 @@ def _foo_stark(steps=64):
         base_steps=steps,
         name="foo",
     )
-    return instantiate(schema, options={"extension_factor": 16,
-                                        "exe_query_count": 24,
-                                        "fri_query_count": 16})
+    return instantiate(schema, options={"extension_factor": 8,
+                                        "exe_query_count": 10,
+                                        "fri_query_count": 6})
 
 
 def test_fused_and_staged_proofs_are_identical():
