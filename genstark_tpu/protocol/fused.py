@@ -43,6 +43,57 @@ from .lincomb import LinearCombination
 from .proof import FriComponent, LowDegreeProof, StarkProof
 
 
+class _LazyTables:
+    """Name -> power-table view over the packed parameter (see
+    FusedProver._build_table_specs).  Direct tables are static slices;
+    factored tables are regenerated on device by one broadcast Montgomery
+    multiply.  `parts(key)` exposes a factored table's (outer, inner)
+    slices so chunked consumers can generate just the chunk they need."""
+
+    def __init__(self, prover, tpack):
+        self._prover = prover
+        self._tpack = tpack
+        self._layout = {}
+        off = 0
+        for key, _, ln in prover._table_specs:
+            fac = prover._factored(ln)
+            self._layout[key] = (off, ln, fac)
+            off += ln if fac is None else fac[0] + fac[1]
+        self._cache = {}
+
+    def parts(self, key):
+        """(outer, inner) slices of a factored table, or None if direct."""
+        off, ln, fac = self._layout[key]
+        if fac is None:
+            return None
+        s, nj = fac
+        L = self._prover.field.device.L
+        outer = jax.lax.slice(self._tpack, (0, off), (L, off + nj))
+        inner = jax.lax.slice(self._tpack, (0, off + nj), (L, off + nj + s))
+        return outer, inner
+
+    def __contains__(self, key):
+        return key in self._layout
+
+    def get(self, key, default=None):
+        return self[key] if key in self._layout else default
+
+    def __getitem__(self, key):
+        if key in self._cache:
+            return self._cache[key]
+        off, ln, fac = self._layout[key]
+        dev = self._prover.field.device
+        L = dev.L
+        if fac is None:
+            out = jax.lax.slice(self._tpack, (0, off), (L, off + ln))
+        else:
+            outer, inner = self.parts(key)
+            full = dev.mont_mul(outer[:, :, None], inner[:, None, :])
+            out = full.reshape(L, ln)
+        self._cache[key] = out
+        return out
+
+
 def _to_mont_batch(dev, arr_std: jnp.ndarray) -> jnp.ndarray:
     """[B, L, N] standard-form -> Montgomery (limb axis moved for dev ops)."""
     moved = jnp.moveaxis(arr_std, 1, 0)            # [L, B, N]
@@ -99,6 +150,9 @@ class FusedProver:
         # domains keep the single program (fewest dispatches — each is a
         # ~30 ms round-trip on the tunnelled backend).
         import os
+        # chunk size for cmap1 (see _helpers): elementwise Montgomery ops on
+        # arrays longer than 2 chunks run chunk-at-a-time through lax.map
+        self._chunk_elems = int(os.environ.get("GENSTARK_CHUNK_ELEMS", 1 << 21))
         self._split = (mesh is None and
                        Ne >= int(os.environ.get("GENSTARK_SPLIT_NE", 1 << 22)))
         if self._split:
@@ -234,26 +288,12 @@ class FusedProver:
         return self._pack_cache
 
     def _slice_tables(self, tpack):
-        """Static slices of the packed parameter, keyed by spec name;
-        factored tables are regenerated as outer[j]*inner[k] on device."""
-        dev = self.field.device
-        out = {}
-        off = 0
-        L = dev.L
-        for key, _, ln in self._table_specs:
-            fac = self._factored(ln)
-            if fac is None:
-                out[key] = jax.lax.slice(tpack, (0, off), (L, off + ln))
-                off += ln
-            else:
-                s, nj = fac
-                outer = jax.lax.slice(tpack, (0, off), (L, off + nj))
-                off += nj
-                inner = jax.lax.slice(tpack, (0, off), (L, off + s))
-                off += s
-                full = dev.mont_mul(outer[:, :, None], inner[:, None, :])
-                out[key] = full.reshape(L, ln)
-        return out
+        """Lazy view of the packed parameter, keyed by spec name: tables are
+        sliced (and factored ones regenerated as outer[j]*inner[k]) only when
+        actually USED by the requesting stage — generating a full [L, Ne]
+        table is itself a GB-scale operation at Ne = 2^24, and each stage
+        needs only a subset."""
+        return _LazyTables(self, tpack)
 
     # ------------------------------------------------------------------ trace
     def _helpers(self, tpack):
@@ -307,14 +347,34 @@ class FusedProver:
             pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
             return transform(jnp.pad(x, pad), n, tb[w_key])
 
-        return tb, shard_dom, pin_rows_minor, intt_t, lde
+        def cmap1(fn, *arrays):
+            """Apply an elementwise(-along-the-domain) op in sequential
+            chunks via lax.map.  One full-domain Montgomery reduction holds
+            a [2L+1, Ne] accumulator plus several [L, Ne] temps — ~4 GB at
+            Ne = 2^24 — all of which scale down with the chunk size; the
+            values themselves are unchanged (pure elementwise math).
+            fn must return one array shaped like its (broadcast) inputs."""
+            n = arrays[0].shape[-1]
+            chunks = n // self._chunk_elems
+            if mesh is not None or chunks < 2:
+                return fn(*arrays)
+            parts = tuple(
+                jnp.moveaxis(a.reshape(a.shape[:-1] + (chunks, -1)), -2, 0)
+                for a in arrays)
+            out = jax.lax.map(lambda t: fn(*t), parts)   # [C, ..., n/C]
+            out = jnp.moveaxis(out, 0, -2)               # [..., C, n/C]
+            return out.reshape(out.shape[:-2] + (n,))
+
+        return tb, shard_dom, pin_rows_minor, intt_t, lde, cmap1
 
     def _stage_commit(self, trace_std, statics_std, tpack):
         """Reference steps 3-4 (/root/reference/lib/Stark.ts:104-119):
         trace interpolation, LDE, static-register evaluations, evaluation
-        Merkle tree.  Returns
-        (p_polys, p_evals, s_evals [S,L,Ne], static_evals_nc, e_std, e_flat,
-         e_root)."""
+        Merkle tree.  Returns (p_polys, static_polys, e_std, e_flat, e_root)
+        — deliberately NOT the Montgomery-form evaluation arrays: in split
+        mode those would pin an extra ~1.5 GB across the stage boundary at
+        Ne = 2^24, and stage B reconstructs them from e_std with one cheap
+        to-Montgomery pass."""
         context = self.context
         field = self.field
         dev = field.device
@@ -323,42 +383,51 @@ class FusedProver:
         Nc = context.composition_domain_size
         R = context.schema.trace_width
         elem = field.element_size
-        tb, shard_dom, pin_rows_minor, intt_t, lde = self._helpers(tpack)
+        tb, shard_dom, pin_rows_minor, intt_t, lde, cmap1 = \
+            self._helpers(tpack)
+
+        # Phase barriers: without them XLA's latency-hiding scheduler
+        # interleaves the LDE / from-Montgomery / hash / tree phases, holding
+        # several full-domain temps alive at once — at Ne = 2^24 that pushed
+        # the stage's peak HBM past capacity.  Each barrier closes a phase
+        # so its temps can be freed before the next phase's are allocated.
+        barrier = jax.lax.optimization_barrier
 
         trace = _to_mont_batch(dev, trace_std)                  # [R, L, T]
         p_polys = intt_t(trace)
         p_evals = lde(p_polys, Ne, "w_Ne")                      # [R, L, Ne]
+        e_vectors_std = [cmap1(dev._from_mont, p_evals[r]) for r in range(R)]
+        p_polys, e_vectors_std = barrier((p_polys, e_vectors_std))
 
         # static registers: polynomials once, then per-domain evaluations
         K = statics_std.shape[0]
         if K:
             statics = _to_mont_batch(dev, statics_std)          # [K, L, T]
             static_polys = intt_t(statics)
-            static_evals_nc = lde(static_polys, Nc, "w_Nc")
-            s_evals = [lde(static_polys[k], Ne, "w_Ne")
-                       for k in self.secret_idx]
+            for k in self.secret_idx:
+                s_eval = lde(static_polys[k], Ne, "w_Ne")
+                e_vectors_std.append(cmap1(dev._from_mont, s_eval))
+                e_vectors_std = barrier(e_vectors_std)
         else:
-            static_evals_nc = jnp.zeros((0, dev.L, Nc), dtype=jnp.uint32)
-            s_evals = []
+            static_polys = jnp.zeros((0, dev.L, T), dtype=jnp.uint32)
 
-        e_vectors_std = [dev._from_mont(p_evals[r]) for r in range(R)]
-        e_vectors_std += [dev._from_mont(s) for s in s_evals]
-        leaves = shard_dom(pin_rows_minor(
-            hash_.merge_element_rows(e_vectors_std, elem)))
+        e_std = barrier(jnp.stack(e_vectors_std))               # [V, L, Ne]
+        V = len(e_vectors_std)
+        leaves = shard_dom(pin_rows_minor(hash_.merge_element_rows(
+            [e_std[v] for v in range(V)], elem)))
+        leaves = barrier(leaves)
         e_flat = pin_rows_minor(build_tree_flat(hash_, leaves, Ne))
         e_root = fs.root_words(e_flat, Ne)
+        return p_polys, static_polys, e_std, e_flat, e_root
 
-        s_stack = (jnp.stack(s_evals) if s_evals
-                   else jnp.zeros((0, dev.L, Ne), dtype=jnp.uint32))
-        e_std = jnp.stack(e_vectors_std)                        # [V, L, Ne]
-        return (p_polys, p_evals, s_stack, static_evals_nc, e_std, e_flat,
-                e_root)
-
-    def _stage_lcomb(self, p_polys, p_evals, s_stack, static_evals_nc,
-                     i_polys_std, e_root, tpack):
+    def _stage_lcomb(self, p_polys, static_polys, e_std, i_polys_std, e_root,
+                     tpack):
         """Reference steps 5-6 (Stark.ts:121-131): composition polynomial +
         random linear combination, with the transcript coefficients derived
-        on device from the e-tree root.  Returns l_evals [L, Ne]."""
+        on device from the e-tree root.  Montgomery-form P/S evaluations are
+        rebuilt from e_std (one multiply pass) and the composition-domain
+        static evaluations from static_polys (one small LDE) — see
+        _stage_commit.  Returns l_evals [L, Ne]."""
         context = self.context
         field = self.field
         dev = field.device
@@ -366,12 +435,13 @@ class FusedProver:
         Nc = context.composition_domain_size
         T = context.trace_length
         R = context.schema.trace_width
-        K = static_evals_nc.shape[0]
-        tb, shard_dom, _, _, lde = self._helpers(tpack)
-        s_evals = [s_stack[i] for i in range(s_stack.shape[0])]
+        K = static_polys.shape[0]
+        tb, shard_dom, _, _, lde, cmap1 = self._helpers(tpack)
+        static_evals_nc = (lde(static_polys, Nc, "w_Nc") if K else
+                           jnp.zeros((0, dev.L, Nc), dtype=jnp.uint32))
 
-        n_ps = (R + len(s_evals)) * (2 if self.l_comb.ps_incremental_degree > 0
-                                     else 1)
+        n_ps = (R + (e_std.shape[0] - R)) * \
+            (2 if self.l_comb.ps_incremental_degree > 0 else 1)
         total = self.c_poly.coefficient_count + n_ps
         stream = fs.prng_elements_dev(field, e_root, total)     # [L, total]
         dc = self.c_poly.d_coefficient_count
@@ -388,6 +458,23 @@ class FusedProver:
             [static_evals_nc[k] for k in range(K)]))
         i_polys_mont = _to_mont_batch(dev, i_polys_std) if i_polys_std.shape[0] \
             else i_polys_std
+
+        chunks = Ne // self._chunk_elems
+        fac = self._factored(Ne)     # dom_fwd/incr have length Ne
+        chunk_ok = chunks >= 2 and self.mesh is None and fac is not None
+        if chunk_ok:
+            s, nj = fac
+            M = Ne // chunks
+            chunk_ok = (nj % chunks == 0 and M % s == 0
+                        and M % context.extension_factor == 0)
+        if chunk_ok:
+            return self._lcomb_chunked(tb, q_evals, i_polys_mont, p_polys,
+                                       e_std, d_coeffs, b_coeffs, l_coeffs,
+                                       chunks)
+
+        p_evals = jnp.stack([cmap1(dev._to_mont, e_std[r]) for r in range(R)])
+        s_evals = [cmap1(dev._to_mont, e_std[R + i])
+                   for i in range(e_std.shape[0] - R)]
         c_tables = {
             "domain": tb["dom_fwd"],
             "nc_inv_w": tb["w_Nc_inv"],
@@ -410,6 +497,120 @@ class FusedProver:
             ps = ps + [dev.mont_mul(v, tb["incr"]) for v in ps]
         return shard_dom(dev._add(c_evals, dev.combine_many_mont(ps, l_coeffs)))
 
+    def _lcomb_chunked(self, tb, q_evals, i_polys_mont, p_polys, e_std,
+                       d_coeffs, b_coeffs, l_coeffs, chunks):
+        """Composition + linear combination with every pointwise-over-Ne op
+        run chunk-at-a-time (lax.map) — same math and transcript as the
+        unchunked path (pinned by tests/test_split_stages.py), but peak HBM
+        scales with Ne/chunks instead of Ne: a single full-domain Montgomery
+        multiply chain holds multiple [2L+1, Ne] accumulators (~39 GB total
+        for this stage at Ne = 2^24 unchunked).
+
+        Structure: the composition-domain work (constraint eval, degree
+        adjust, combination, iNTT) happens at Nc <= Ne/4 full-size; the big
+        LDEs (qe, boundary quotients) are NTTs; everything after — domain
+        power generation, Z-inverses, boundary/ps degree raises, random
+        linear combinations — is pointwise and mapped over domain chunks,
+        with the domain/incr power chunks generated in-chunk from the
+        factored tables."""
+        context = self.context
+        field = self.field
+        dev = field.device
+        f = field.host
+        L = dev.L
+        Ne = self.Ne
+        Nc = context.composition_domain_size
+        T = context.trace_length
+        R = context.schema.trace_width
+        V = e_std.shape[0]
+        M = Ne // chunks
+
+        # --- composition-domain combination (CompositionPolynomial
+        # evaluate_all steps 1-3, tables path) ---------------------------------
+        qa = [q_evals[i] for i in range(q_evals.shape[0])]
+        for gi, group in enumerate(self.c_poly.constraint_groups):
+            if group["degree"] == self.c_poly.combination_degree:
+                continue
+            powers = tb[f"adj{gi}"]
+            for i in group["indexes"]:
+                qa.append(dev.mont_mul(qa[i], powers))
+        qc = dev.combine_many_mont(qa, d_coeffs)                 # [L, Nc]
+        qc_poly = ntt.ntt_core_table(field, qc, Nc, tb["w_Nc_inv"])
+        qc_poly = dev.mont_mul(qc_poly, dev.const(f.inv(Nc), shape=(1,)))
+        qe = ntt.ntt_core_table(field, jnp.pad(qc_poly, [(0, 0), (0, Ne - Nc)]),
+                                Ne, tb["w_Ne"])                  # [L, Ne]
+
+        # --- boundary quotient polynomials + LDE (BoundaryConstraints) -------
+        b_vectors = self.c_poly.b_poly.evaluate_all(
+            p_polys, Ne, i_polys_mont=i_polys_mont,
+            tables={"bdiv": [[(tb[f"bc{b}_{j}"], tb[f"bci{b}_{j}"])
+                              for j in range(len(c["xs"]))]
+                             for b, (r, c) in
+                             enumerate(self.c_poly.b_poly.polys.items())],
+                    "ne_fwd_w": tb["w_Ne"]})
+        B = len(b_vectors)
+        b_stack = (jnp.stack(b_vectors) if b_vectors
+                   else jnp.zeros((0, L, Ne), dtype=jnp.uint32))
+
+        # --- pointwise-over-Ne tail, chunked ----------------------------------
+        z = self.c_poly.z_poly
+        ext = context.extension_factor
+        w_t = field.exp(context.root_of_unity, T)
+        base = [f.sub(f.exp(w_t, j), 1) for j in range(ext)]
+        inv_base = [f.inv(v) if v else 0 for v in base]
+        inv_series = dev.from_ints(inv_base)                     # [L, ext]
+        x_last_c = dev.const(z.x_at_last_step, shape=(1,))
+        b_incremental = self.c_poly.composition_degree - T
+        need_incr = (b_incremental > 0 or
+                     self.l_comb.ps_incremental_degree > 0)
+        dom_outer, dom_inner = tb.parts("dom_fwd")
+        incr_parts = tb.parts("incr") if (need_incr and "incr" in tb) else None
+
+        def _chunked(a):
+            # [..., Ne] -> [chunks, ..., M] for lax.map
+            return jnp.moveaxis(a.reshape(a.shape[:-1] + (chunks, M)), -2, 0)
+
+        def _outer_chunks(outer):
+            # outer [L, nj] -> [chunks, L, nj/chunks]; chunk c's absolute
+            # positions are [c*M, (c+1)*M), and M is a multiple of the inner
+            # length s, so outer splits cleanly along j
+            nj = outer.shape[-1]
+            return jnp.moveaxis(
+                outer.reshape(outer.shape[:-1] + (chunks, nj // chunks)),
+                -2, 0)
+
+        xs = (_chunked(qe), _chunked(b_stack), _chunked(e_std),
+              _outer_chunks(dom_outer),
+              _outer_chunks(incr_parts[0]) if incr_parts is not None
+              else jnp.zeros((chunks, L, 0), dtype=jnp.uint32))
+
+        def body(args):
+            qe_c, b_c, e_c, dom_o, incr_o = args
+            dom_c = dev.mont_mul(dom_o[:, :, None],
+                                 dom_inner[:, None, :]).reshape(L, M)
+            # Z(x)^-1 = (x - x_last) * inv(x^T - 1): x^T is ext-periodic, so
+            # the inverted numerator series tiles (ZeroPolynomial semantics;
+            # M is a multiple of ext, so every chunk sees the same tiling)
+            zinv_c = dev.mont_mul(dev._sub(dom_c, x_last_c),
+                                  jnp.tile(inv_series, (1, M // ext)))
+            d_c = dev.mont_mul(qe_c, zinv_c)
+            incr_c = None
+            if incr_parts is not None:
+                incr_c = dev.mont_mul(incr_o[:, :, None],
+                                      incr_parts[1][:, None, :]).reshape(L, M)
+            ba = [b_c[i] for i in range(B)]
+            if b_incremental > 0:
+                ba += [dev.mont_mul(v, incr_c) for v in ba[:B]]
+            c_c = d_c if not ba else dev._add(
+                d_c, dev.combine_many_mont(ba, b_coeffs))
+            ps = [dev._to_mont(e_c[v]) for v in range(V)]
+            if self.l_comb.ps_incremental_degree > 0:
+                ps = ps + [dev.mont_mul(v, incr_c) for v in ps[:V]]
+            return dev._add(c_c, dev.combine_many_mont(ps, l_coeffs))
+
+        out = jax.lax.map(body, xs)                              # [chunks, L, M]
+        return jnp.moveaxis(out, 0, -2).reshape(L, Ne)
+
     def _stage_fri(self, l_evals, tpack):
         """Reference step 7 (Stark.ts:133-144 + LowDegreeProver): the full
         fold-by-4 FRI chain with per-layer Merkle commitments.  Every layer
@@ -425,7 +626,7 @@ class FusedProver:
         hash_ = self.hash
         Ne = self.Ne
         elem = field.element_size
-        tb, shard_dom, pin_rows_minor, _, _ = self._helpers(tpack)
+        tb, shard_dom, pin_rows_minor, _, _, cmap1 = self._helpers(tpack)
 
         roots = []
         tree_flats = []
@@ -433,7 +634,7 @@ class FusedProver:
         values = l_evals
         all_layers = self.layer_sizes + [self.remainder_size]
         for depth, n in enumerate(all_layers):
-            v_std = dev._from_mont(values)
+            v_std = cmap1(dev._from_mont, values)
             layer_stds.append(v_std)
             row_hashes = shard_dom(pin_rows_minor(
                 hash_.digest_stride_rows(v_std, elem)))
@@ -475,11 +676,10 @@ class FusedProver:
           roots    [1 + n_layers, 8]     — e-root, lc-root, column roots...
           remainder_std [L, remainder]
         """
-        (p_polys, p_evals, s_stack, static_evals_nc, e_std, e_flat,
-         e_root) = self._stage_commit(trace_std, statics_std, tpack)
-        l_evals = self._stage_lcomb(p_polys, p_evals, s_stack,
-                                    static_evals_nc, i_polys_std, e_root,
-                                    tpack)
+        p_polys, static_polys, e_std, e_flat, e_root = self._stage_commit(
+            trace_std, statics_std, tpack)
+        l_evals = self._stage_lcomb(p_polys, static_polys, e_std,
+                                    i_polys_std, e_root, tpack)
         fri_cat, vals_cat, fri_roots, remainder_std = self._stage_fri(
             l_evals, tpack)
         roots_cat = jnp.concatenate([e_root[None], fri_roots], axis=0)
@@ -503,14 +703,14 @@ class FusedProver:
         marks.append(("host prep", time.monotonic()))
         if self._split:
             jit_a, jit_b, jit_c = self._jit_stages
-            (p_polys, p_evals, s_stack, statics_nc, e_std, e_flat,
-             e_root_dev) = jit_a(jnp.asarray(trace_std),
-                                 jnp.asarray(statics_np), self._get_pack())
-            l_evals = jit_b(p_polys, p_evals, s_stack, statics_nc,
+            p_polys, static_polys, e_std, e_flat, e_root_dev = jit_a(
+                jnp.asarray(trace_std), jnp.asarray(statics_np),
+                self._get_pack())
+            l_evals = jit_b(p_polys, static_polys, e_std,
                             jnp.asarray(i_polys_np), e_root_dev,
                             self._get_pack())
             # free the full-domain stage inputs before the FRI chain runs
-            del p_polys, p_evals, s_stack, statics_nc
+            del p_polys, static_polys
             fri_cat, vals_cat, fri_roots, remainder_dev = jit_c(
                 l_evals, self._get_pack())
             del l_evals

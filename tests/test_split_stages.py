@@ -26,3 +26,10 @@ def test_split_stage_proof_bytes_identical(monkeypatch):
     monkeypatch.setenv("GENSTARK_SPLIT_NE", "1")   # force split mode
     split = _proof()
     assert split == single
+    # chunked pointwise mode (large-domain memory lever): force both the
+    # chunking AND the factored tables it draws domain/incr chunks from
+    from genstark_tpu.protocol.fused import FusedProver
+    monkeypatch.setenv("GENSTARK_CHUNK_ELEMS", "64")
+    monkeypatch.setattr(FusedProver, "_factor_threshold", 8)
+    chunked = _proof()
+    assert chunked == single
