@@ -154,9 +154,20 @@ def _digest_call(algorithm: str, n_words: int, msg_bytes: int, batch: int,
     return jax.jit(call)
 
 
+def _min_batch() -> int:
+    """Smallest batch routed to the Pallas kernel.  Every distinct batch
+    size is a separate Mosaic kernel compile inside the enclosing XLA
+    program, and on the remote-compile backend each one lengthens the
+    one-time warmup; the small Merkle levels are a geometric tail of the
+    runtime, so hashing them with the plain-jnp compressors costs ~nothing
+    per proof while dropping ~6 kernel compiles per program."""
+    import os
+    return int(os.environ.get("GENSTARK_PALLAS_HASH_MIN", 8192))
+
+
 def supported(batch: int) -> bool:
     """The kernel wants whole (8, 128)-tile lane blocks."""
-    return batch >= 256 and batch % 256 == 0
+    return batch >= max(256, _min_batch()) and batch % 256 == 0
 
 
 def digest_rows_le(words_le: jnp.ndarray, msg_bytes: int,
