@@ -27,6 +27,23 @@ if "xla_cpu_use_fusion_emitters" not in os.environ.get("XLA_FLAGS", ""):
 
 import jax
 
+# Persistent compilation cache (standard JAX feature, and how a production
+# deployment of this prover would run): XLA re-compiles of an unchanged
+# program are served from disk, so only the first-ever prove of a given
+# (AIR, size, options) config on a machine pays the full compile.  The
+# emitted JSON reports `warm_cache` so a cached warmup is never mistaken
+# for a cold one.
+_CACHE_DIR = os.environ.get(
+    "GENSTARK_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+if _CACHE_DIR != "0":
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _state_cache_was_warm = os.path.isdir(_CACHE_DIR) and \
+        any(True for _ in os.scandir(_CACHE_DIR))
+else:
+    _state_cache_was_warm = False
+
 # reference MiMC-128 proof times by trace length (README.md:211-212)
 BASELINES = {2 ** 13: 1.3, 2 ** 17: 23.0}
 
@@ -39,7 +56,8 @@ def _baseline(steps: int) -> float:
 
 
 _state = {"best": None, "printed": False, "steps": 2 ** 13,
-          "proof_kb": None, "security": None}
+          "proof_kb": None, "security": None, "warmup_s": None,
+          "verify_ms": None}
 
 
 def _emit(note=None):
@@ -56,6 +74,9 @@ def _emit(note=None):
         "proof_kb": _state["proof_kb"],
         "security_level": _state["security"],
         "platform": jax.devices()[0].platform,
+        "warmup_s": _state["warmup_s"],
+        "warm_cache": _state_cache_was_warm,
+        "verify_ms": _state["verify_ms"],
     }
     if steps not in BASELINES:
         # the reference published only 2^13 and 2^17; other sizes compare
@@ -126,10 +147,14 @@ def main():
     warm = time.monotonic() - t0
     print(f"warmup(prove#1) {warm:.1f}s", file=sys.stderr, flush=True)
     _state["best"] = warm
+    _state["warmup_s"] = round(warm, 1)
     _state["proof_kb"] = round(stark.size_of(proof) / 1024, 2)
     _state["security"] = stark.security_level
-    assert stark.verify(assertions, stark.parse(stark.serialize(proof)))
-    print("verified", file=sys.stderr, flush=True)
+    parsed = stark.parse(stark.serialize(proof))
+    t0 = time.monotonic()
+    assert stark.verify(assertions, parsed)
+    _state["verify_ms"] = round((time.monotonic() - t0) * 1000, 1)
+    print(f"verified ({_state['verify_ms']} ms)", file=sys.stderr, flush=True)
 
     # measure
     n_runs = int(os.environ.get("BENCH_RUNS", 3))

@@ -154,6 +154,7 @@ def _digest_call(algorithm: str, n_words: int, msg_bytes: int, batch: int,
     return jax.jit(call)
 
 
+@lru_cache(maxsize=None)
 def _min_batch() -> int:
     """Smallest batch routed to the Pallas kernel.  Every distinct batch
     size is a separate Mosaic kernel compile inside the enclosing XLA
@@ -162,7 +163,14 @@ def _min_batch() -> int:
     runtime, so hashing them with the plain-jnp compressors costs ~nothing
     per proof while dropping ~6 kernel compiles per program."""
     import os
-    return int(os.environ.get("GENSTARK_PALLAS_HASH_MIN", 8192))
+    import warnings
+    raw = os.environ.get("GENSTARK_PALLAS_HASH_MIN", "")
+    try:
+        return int(raw) if raw else 8192
+    except ValueError:
+        warnings.warn(f"GENSTARK_PALLAS_HASH_MIN={raw!r} is not an int; "
+                      "using default 8192")
+        return 8192
 
 
 def supported(batch: int) -> bool:

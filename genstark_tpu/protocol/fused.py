@@ -153,21 +153,21 @@ class FusedProver:
         # chunk size for cmap1 (see _helpers): elementwise Montgomery ops on
         # arrays longer than 2 chunks run chunk-at-a-time through lax.map
         self._chunk_elems = int(os.environ.get("GENSTARK_CHUNK_ELEMS", 1 << 21))
-        self._split = (mesh is None and
-                       Ne >= int(os.environ.get("GENSTARK_SPLIT_NE", 1 << 22)))
+        # Split mode COMPOSES with mesh mode: the flagship multi-chip config
+        # (2^20 steps -> Ne = 2^24 on a few chips) needs both the stage
+        # boundaries (so dead full-domain intermediates are freed) and the
+        # domain sharding; with D devices every full-domain buffer and temp
+        # scales 1/D on top of the split-mode staging.  Host-origin inputs
+        # (trace/statics/interpolants/table pack) enter replicated via
+        # device_put in prove(); the domain sharding is established inside
+        # the stages.  Byte-identity with the single-device single-program
+        # path is pinned by tests/test_split_sharded.py.
+        self._split = Ne >= int(os.environ.get("GENSTARK_SPLIT_NE", 1 << 22))
         if self._split:
             self._jit = None
             self._jit_stages = (jax.jit(self._stage_commit),
                                 jax.jit(self._stage_lcomb),
                                 jax.jit(self._stage_fri))
-        elif mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            repl = NamedSharding(mesh, P())
-            # inputs (trace/statics/interpolants/table pack) are tiny or
-            # reused across the domain — they enter replicated; the domain
-            # sharding is established inside the pipeline
-            self._jit = jax.jit(self._pipeline,
-                                in_shardings=(repl, repl, repl, repl))
         else:
             self._jit = jax.jit(self._pipeline)
 
@@ -284,8 +284,16 @@ class FusedProver:
                     parts.append(power_series_mont_np(params,
                                                       pow(seed % p, s, p), nj))
                     parts.append(power_series_mont_np(params, seed, s))
-            self._pack_cache = jnp.asarray(np.concatenate(parts, axis=1))
+            self._pack_cache = self._put(np.concatenate(parts, axis=1))
         return self._pack_cache
+
+    def _put(self, arr) -> jnp.ndarray:
+        """Host array -> device; replicated over the mesh when one is set
+        (host-origin inputs are tiny or reused across the whole domain)."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(arr, NamedSharding(self.mesh, P()))
 
     def _slice_tables(self, tpack):
         """Lazy view of the packed parameter, keyed by spec name: tables are
@@ -353,17 +361,24 @@ class FusedProver:
             a [2L+1, Ne] accumulator plus several [L, Ne] temps — ~4 GB at
             Ne = 2^24 — all of which scale down with the chunk size; the
             values themselves are unchanged (pure elementwise math).
-            fn must return one array shaped like its (broadcast) inputs."""
+            fn must return one array shaped like its (broadcast) inputs.
+
+            Under a mesh the per-chunk trailing axis keeps the domain
+            sharding (each sequential chunk is itself spread over the
+            devices), so chunking and sharding compose: per-device temp
+            footprint is chunk/D."""
             n = arrays[0].shape[-1]
             chunks = n // self._chunk_elems
-            if mesh is not None or chunks < 2:
+            if chunks < 2 or (mesh is not None and
+                              (n // chunks) % n_dev != 0):
                 return fn(*arrays)
             parts = tuple(
-                jnp.moveaxis(a.reshape(a.shape[:-1] + (chunks, -1)), -2, 0)
+                shard_dom(jnp.moveaxis(
+                    a.reshape(a.shape[:-1] + (chunks, -1)), -2, 0))
                 for a in arrays)
-            out = jax.lax.map(lambda t: fn(*t), parts)   # [C, ..., n/C]
+            out = jax.lax.map(lambda t: shard_dom(fn(*t)), parts)  # [C, ..., n/C]
             out = jnp.moveaxis(out, 0, -2)               # [..., C, n/C]
-            return out.reshape(out.shape[:-2] + (n,))
+            return shard_dom(out.reshape(out.shape[:-2] + (n,)))
 
         return tb, shard_dom, pin_rows_minor, intt_t, lde, cmap1
 
@@ -461,12 +476,14 @@ class FusedProver:
 
         chunks = Ne // self._chunk_elems
         fac = self._factored(Ne)     # dom_fwd/incr have length Ne
-        chunk_ok = chunks >= 2 and self.mesh is None and fac is not None
+        chunk_ok = chunks >= 2 and fac is not None
         if chunk_ok:
             s, nj = fac
             M = Ne // chunks
             chunk_ok = (nj % chunks == 0 and M % s == 0
                         and M % context.extension_factor == 0)
+            if self.mesh is not None:
+                chunk_ok = chunk_ok and M % self.mesh.devices.size == 0
         if chunk_ok:
             return self._lcomb_chunked(tb, q_evals, i_polys_mont, p_polys,
                                        e_std, d_coeffs, b_coeffs, l_coeffs,
@@ -525,6 +542,19 @@ class FusedProver:
         V = e_std.shape[0]
         M = Ne // chunks
 
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            ax = mesh.axis_names[0]
+
+        def _sd(x):
+            """Constrain the trailing (per-chunk domain) axis over the mesh
+            so chunking and sharding compose (see cmap1)."""
+            if mesh is None:
+                return x
+            spec = P(*([None] * (x.ndim - 1) + [ax]))
+            return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
         # --- composition-domain combination (CompositionPolynomial
         # evaluate_all steps 1-3, tables path) ---------------------------------
         qa = [q_evals[i] for i in range(q_evals.shape[0])]
@@ -579,7 +609,7 @@ class FusedProver:
                 outer.reshape(outer.shape[:-1] + (chunks, nj // chunks)),
                 -2, 0)
 
-        xs = (_chunked(qe), _chunked(b_stack), _chunked(e_std),
+        xs = (_sd(_chunked(qe)), _sd(_chunked(b_stack)), _sd(_chunked(e_std)),
               _outer_chunks(dom_outer),
               _outer_chunks(incr_parts[0]) if incr_parts is not None
               else jnp.zeros((chunks, L, 0), dtype=jnp.uint32))
@@ -606,10 +636,10 @@ class FusedProver:
             ps = [dev._to_mont(e_c[v]) for v in range(V)]
             if self.l_comb.ps_incremental_degree > 0:
                 ps = ps + [dev.mont_mul(v, incr_c) for v in ps[:V]]
-            return dev._add(c_c, dev.combine_many_mont(ps, l_coeffs))
+            return _sd(dev._add(c_c, dev.combine_many_mont(ps, l_coeffs)))
 
         out = jax.lax.map(body, xs)                              # [chunks, L, M]
-        return jnp.moveaxis(out, 0, -2).reshape(L, Ne)
+        return _sd(jnp.moveaxis(out, 0, -2).reshape(L, Ne))
 
     def _stage_fri(self, l_evals, tpack):
         """Reference step 7 (Stark.ts:133-144 + LowDegreeProver): the full
@@ -704,24 +734,26 @@ class FusedProver:
         if self._split:
             jit_a, jit_b, jit_c = self._jit_stages
             p_polys, static_polys, e_std, e_flat, e_root_dev = jit_a(
-                jnp.asarray(trace_std), jnp.asarray(statics_np),
+                self._put(trace_std), self._put(statics_np),
                 self._get_pack())
             l_evals = jit_b(p_polys, static_polys, e_std,
-                            jnp.asarray(i_polys_np), e_root_dev,
+                            self._put(i_polys_np), e_root_dev,
                             self._get_pack())
             # free the full-domain stage inputs before the FRI chain runs
             del p_polys, static_polys
             fri_cat, vals_cat, fri_roots, remainder_dev = jit_c(
                 l_evals, self._get_pack())
             del l_evals
+            from ..parallel.distributed import fetch
             roots_np = np.concatenate(
-                [np.asarray(e_root_dev)[None], np.asarray(fri_roots)],
+                [fetch(e_root_dev)[None], fetch(fri_roots)],
                 axis=0).astype("<u4")
         else:
             e_flat, fri_cat, e_std, vals_cat, roots_cat, remainder_dev = \
-                self._jit(jnp.asarray(trace_std), jnp.asarray(statics_np),
-                          jnp.asarray(i_polys_np), self._get_pack())
-            roots_np = np.asarray(roots_cat).astype("<u4")      # tiny sync
+                self._jit(self._put(trace_std), self._put(statics_np),
+                          self._put(i_polys_np), self._get_pack())
+            from ..parallel.distributed import fetch
+            roots_np = fetch(roots_cat).astype("<u4")           # tiny sync
         marks.append(("pipeline+roots sync", time.monotonic()))
         root_bytes = [roots_np[i].tobytes() for i in range(roots_np.shape[0])]
         e_root = root_bytes[0]
@@ -802,7 +834,7 @@ class FusedProver:
         e_pad = np.zeros(capE, dtype=np.int32)
         e_pad[:len(e_idx)] = e_idx
         marks.append(("host transcript+plans", time.monotonic()))
-        packed = np.asarray(self._packed_gather(
+        packed = fetch(self._packed_gather(
             e_flat, fri_cat, vals_cat, e_std, jnp.asarray(rows_e_pad),
             jnp.asarray(rows_f_pad), jnp.asarray(cols_pad),
             jnp.asarray(e_pad)))

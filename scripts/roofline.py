@@ -41,8 +41,8 @@ import numpy as np
 
 
 def _best(fn, *args, runs=5):
-    fn(*args)[0].block_until_ready() if isinstance(fn(*args), tuple) else \
-        fn(*args).block_until_ready()
+    out = fn(*args)
+    (out[0] if isinstance(out, tuple) else out).block_until_ready()
     best = float("inf")
     for _ in range(runs):
         t0 = time.monotonic()
@@ -80,6 +80,8 @@ def _mont_chain_kernel(field, depth, n):
             limbs = _mont_mul_limbs(limbs, limbs, p_limbs, n0p)
         out_ref[...] = jnp.stack(limbs)
 
+    interpret = jax.default_backend() != "tpu"
+
     def run(x):
         return pl.pallas_call(
             kernel,
@@ -87,6 +89,7 @@ def _mont_chain_kernel(field, depth, n):
             grid=(n // blk,),
             in_specs=[pl.BlockSpec((L, blk), lambda i: (0, i))],
             out_specs=pl.BlockSpec((L, blk), lambda i: (0, i)),
+            interpret=interpret,
         )(x)
 
     return jax.jit(run)
@@ -152,14 +155,15 @@ def main():
           file=sys.stderr, flush=True)
 
     # ---- derived bounds for the 128-bit butterfly ----
-    # multi-stage kernel: stages m<=2048 (12 of lg) in ONE HBM pass; each
-    # remaining stage is its own pass.  Per pass: read 2*L*4 B, write 2*L*4 B
-    # per butterfly-pair element -> 2 * (4*L bytes) * 2 / 2 butterflies...
-    # one butterfly touches 2 elements of 4L bytes each, read+write:
+    # multi-stage kernel: stages with half-size m <= _MBLK run in ONE HBM
+    # pass; each remaining stage is its own pass.  One butterfly touches 2
+    # elements of 4*L bytes each, read + write:
+    from genstark_tpu.ntt.pallas_kernels import _MBLK
     bytes_per_bf_pass = 2 * 2 * 4 * L
+    fused_stages = _MBLK.bit_length()        # stages m = 1 .. _MBLK
     for lg in (20, 21):
         n_stages = lg
-        fused = min(12, n_stages)
+        fused = min(fused_stages, n_stages)
         passes = 1 + (n_stages - fused)
         amort = bytes_per_bf_pass * passes / n_stages
         out[f"hbm_bound_2^{lg}_butterflies_per_s"] = round(bw / amort)
