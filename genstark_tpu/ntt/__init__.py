@@ -108,6 +108,65 @@ def _ntt_core(field: PrimeField, a: jnp.ndarray, plan) -> jnp.ndarray:
     return ntt_core_table(field, a, plan.n, plan.w_table)
 
 
+@lru_cache(maxsize=None)
+def _four_step_local(n: int) -> bool:
+    """True when an n-point transform should run as the single-chip 4-step
+    decomposition (see ntt_core_table): n large enough that the direct path
+    would need large-m split-stage kernels (half > _MBLK), and both local
+    sizes fully covered by the multi-stage kernel.  GENSTARK_NTT_4STEP=0
+    forces the direct per-stage path."""
+    import os
+    if os.environ.get("GENSTARK_NTT_4STEP") == "0":
+        return False
+    from .pallas_kernels import _MBLK
+    if n // 2 <= _MBLK:
+        return False
+    n1 = 1 << ((n.bit_length() - 1) // 2)
+    n2 = n // n1
+    return 4 <= n1 and n2 // 2 <= _MBLK
+
+
+def _four_step_core(field: PrimeField, a: jnp.ndarray, n: int,
+                    w_table: jnp.ndarray) -> jnp.ndarray:
+    """Single-chip 4-step (Bailey) NTT: natural order in and out.
+
+    a: [..., L, n] Montgomery; w_table: [L, n/2] half-table (may be traced).
+    View the input as A[i1, i2] (i = i1*n2 + i2); then
+    X[k1 + n1*k2] = sum_{i2} w^(i2*k1) w2^(i2*k2) [sum_{i1} w1^(i1*k1) A[i1,i2]]
+    with w1 = w^n2, w2 = w^n1 — two batched local transforms around one
+    twiddle multiply.  The twiddle panel T[k1, i2] = w^(k1*i2) is one gather
+    from the full-domain table (k1*i2 < n1*n2 = n, so indices never wrap);
+    the full table's upper half is -(lower half) since w^(n/2) = -1.
+    """
+    dev = field.device
+    L = a.shape[-2]
+    batch_shape = a.shape[:-2]
+    x = a.reshape((-1, L, n)) if batch_shape else a[None]       # [B, L, n]
+    B = x.shape[0]
+    n1 = 1 << ((n.bit_length() - 1) // 2)
+    n2 = n // n1
+
+    # local half-tables: the size-m canonical root is w^(n/m), whose powers
+    # are every (n/m)-th entry of w_table (same picks as ntt_dist)
+    w1t = w_table.reshape(L, n1 // 2, n2)[:, :, 0]              # w^n2 powers
+    w2t = w_table.reshape(L, n2 // 2, n1)[:, :, 0]              # w^n1 powers
+
+    full = jnp.concatenate([w_table, dev._neg(w_table)], axis=1)  # [L, n]
+    idx = (jax.lax.iota(jnp.int32, n1)[:, None] *
+           jax.lax.iota(jnp.int32, n2)[None, :])                # [n1, n2] < n
+    tw = jnp.take(full, idx.reshape(-1), axis=1).reshape(L, n1, n2)
+
+    y = x.reshape(B, L, n1, n2)
+    y = jnp.transpose(y, (0, 3, 1, 2))                          # [B, n2, L, n1]
+    y = ntt_core_table(field, y, n1, w1t)                       # NTT over i1
+    ym = jnp.transpose(y, (2, 0, 3, 1))                         # [L, B, k1, n2]
+    ym = dev.mont_mul(ym, tw[:, None])
+    y = jnp.transpose(ym, (1, 2, 0, 3))                         # [B, k1, L, n2]
+    y = ntt_core_table(field, y, n2, w2t)                       # NTT over i2
+    out = jnp.transpose(y, (0, 2, 3, 1)).reshape(B, L, n)       # X[k1+n1*k2]
+    return out.reshape(batch_shape + (L, n)) if batch_shape else out[0]
+
+
 def ntt_core_table(field: PrimeField, a: jnp.ndarray, n: int,
                    w_table: jnp.ndarray) -> jnp.ndarray:
     """Core transform. a: [..., L, n] (Montgomery). Returns same shape.
@@ -127,6 +186,19 @@ def ntt_core_table(field: PrimeField, a: jnp.ndarray, n: int,
     dev = field.device
     if n == 1:
         return a
+    if _use_pallas() and _four_step_local(n):
+        # Large transforms run as a LOCAL 4-step (Bailey) decomposition
+        # n = n1*n2: batched n1-point NTTs (slow axis), one twiddle
+        # multiply by w^(k1*i2), batched n2-point NTTs (minor axis), final
+        # transpose to natural order.  Both local sizes fit the single
+        # multi-stage VMEM kernel entirely, so NO large-m split-stage
+        # kernels are ever compiled: one small Mosaic kernel per local
+        # size replaces one per (n, m >= 4096) stage — the dominant share
+        # of the executable on the remote-compile backend — and each
+        # replaced stage pass becomes a cheap XLA transpose/gather pass.
+        # Same decomposition as the distributed transform
+        # (parallel/ntt_dist.py), single-chip.
+        return _four_step_core(field, a, n, w_table)
     S = n.bit_length() - 1
     batch_shape = a.shape[:-2]
     L = a.shape[-2]
@@ -138,8 +210,8 @@ def ntt_core_table(field: PrimeField, a: jnp.ndarray, n: int,
 
     half = n // 2
     if _use_pallas():
-        # pallas path: all stages with m <= _MBLK in one multi-stage VMEM
-        # kernel, the remaining large-m stages as split-operand kernels
+        # all stages with m <= _MBLK in one multi-stage VMEM kernel, the
+        # remaining large-m stages as split-operand kernels
         from .pallas_kernels import butterfly_stage2, multistage
         x2 = jnp.swapaxes(x, 0, 1).reshape(B * L, n)  # batch-major limb rows
         x2, last_m = multistage(field, x2, w_table, L, n)
