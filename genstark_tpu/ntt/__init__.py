@@ -121,13 +121,20 @@ def _four_step_local(n: int) -> bool:
     from .pallas_kernels import _MBLK
     if n // 2 <= _MBLK:
         return False
+    if n > (1 << 21):
+        # the twiddle panel / full-domain table are O(n) temps — at the
+        # split-mode domain sizes (2^22+) that is GB-scale, so very large
+        # transforms keep the per-stage kernels (their per-size compile
+        # cost amortizes: only the largest configs reach them)
+        return False
     n1 = 1 << ((n.bit_length() - 1) // 2)
     n2 = n // n1
     return 4 <= n1 and n2 // 2 <= _MBLK
 
 
 def _four_step_core(field: PrimeField, a: jnp.ndarray, n: int,
-                    w_table: jnp.ndarray) -> jnp.ndarray:
+                    w_table: jnp.ndarray, panel: Optional[jnp.ndarray] = None
+                    ) -> jnp.ndarray:
     """Single-chip 4-step (Bailey) NTT: natural order in and out.
 
     a: [..., L, n] Montgomery; w_table: [L, n/2] half-table (may be traced).
@@ -137,6 +144,9 @@ def _four_step_core(field: PrimeField, a: jnp.ndarray, n: int,
     twiddle multiply.  The twiddle panel T[k1, i2] = w^(k1*i2) is one gather
     from the full-domain table (k1*i2 < n1*n2 = n, so indices never wrap);
     the full table's upper half is -(lower half) since w^(n/2) = -1.
+    Callers that hold the panel as a precomputed program parameter (the
+    fused prover's table pack) pass it as `panel` [L, n] flat row-major,
+    skipping the in-program table build + gather entirely.
     """
     dev = field.device
     L = a.shape[-2]
@@ -151,10 +161,13 @@ def _four_step_core(field: PrimeField, a: jnp.ndarray, n: int,
     w1t = w_table.reshape(L, n1 // 2, n2)[:, :, 0]              # w^n2 powers
     w2t = w_table.reshape(L, n2 // 2, n1)[:, :, 0]              # w^n1 powers
 
-    full = jnp.concatenate([w_table, dev._neg(w_table)], axis=1)  # [L, n]
-    idx = (jax.lax.iota(jnp.int32, n1)[:, None] *
-           jax.lax.iota(jnp.int32, n2)[None, :])                # [n1, n2] < n
-    tw = jnp.take(full, idx.reshape(-1), axis=1).reshape(L, n1, n2)
+    if panel is not None:
+        tw = panel.reshape(L, n1, n2)
+    else:
+        full = jnp.concatenate([w_table, dev._neg(w_table)], axis=1)  # [L, n]
+        idx = (jax.lax.iota(jnp.int32, n1)[:, None] *
+               jax.lax.iota(jnp.int32, n2)[None, :])            # [n1, n2] < n
+        tw = jnp.take(full, idx.reshape(-1), axis=1).reshape(L, n1, n2)
 
     y = x.reshape(B, L, n1, n2)
     y = jnp.transpose(y, (0, 3, 1, 2))                          # [B, n2, L, n1]

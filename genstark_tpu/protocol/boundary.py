@@ -101,10 +101,12 @@ class BoundaryConstraints:
                 powers = tables["bdiv"][b][j] if tables is not None else None
                 n_coeffs = _synthetic_divide(field, n_coeffs, root, powers)
             if tables is not None:
+                from .composition import _transform
                 padded = jnp.pad(n_coeffs,
                                  [(0, 0), (0, domain_size - n_coeffs.shape[-1])])
-                out.append(ntt.ntt_core_table(field, padded, domain_size,
-                                              tables["ne_fwd_w"]))
+                out.append(_transform(field, padded, domain_size,
+                                      tables["ne_fwd_w"],
+                                      tables.get("ne_fwd_panel")))
             else:
                 out.append(ntt.low_degree_extend(field, n_coeffs, domain_size))
         return out

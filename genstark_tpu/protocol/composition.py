@@ -34,6 +34,14 @@ def group_transition_constraints(constraint_degrees: List[int], trace_length: in
     return [{"degree": degree, "indexes": idxs} for degree, idxs in groups.items()]
 
 
+def _transform(field, x, n, w_table, panel=None):
+    """Tables-path transform: takes the precomputed 4-step twiddle panel
+    when the enclosing prover shipped one as a program parameter."""
+    if panel is not None:
+        return ntt._four_step_core(field, x, n, w_table, panel=panel)
+    return ntt.ntt_core_table(field, x, n, w_table)
+
+
 class CompositionPolynomial:
     def __init__(self, assertions, seed: bytes, context, logger=None):
         self.field = context.field
@@ -124,10 +132,11 @@ class CompositionPolynomial:
         self.log("Computed linear combination of Q(x) polynomials")
 
         if tables is not None:
-            qc_poly = ntt.ntt_core_table(field, qc, Nc, tables["nc_inv_w"])
+            qc_poly = _transform(field, qc, Nc, tables["nc_inv_w"],
+                                 tables.get("nc_inv_panel"))
             qc_poly = dev.mont_mul(qc_poly, dev.const(f.inv(Nc), shape=(1,)))
-            qe = ntt.ntt_core_table(field, jnp.pad(qc_poly, [(0, 0), (0, Ne - Nc)]),
-                                    Ne, tables["ne_fwd_w"])
+            qe = _transform(field, jnp.pad(qc_poly, [(0, 0), (0, Ne - Nc)]),
+                            Ne, tables["ne_fwd_w"], tables.get("ne_fwd_panel"))
         else:
             qc_poly = ntt.intt(field, qc)
             qe = ntt.low_degree_extend(field, qc_poly, Ne)           # [L, Ne]

@@ -55,8 +55,10 @@ class _LazyTables:
         self._tpack = tpack
         self._layout = {}
         off = 0
-        for key, _, ln in prover._table_specs:
-            fac = prover._factored(ln)
+        for spec in prover._table_specs:
+            key, _, ln = spec[:3]
+            # "panel" tables are not power series — always packed direct
+            fac = None if len(spec) > 3 else prover._factored(ln)
             self._layout[key] = (off, ln, fac)
             off += ln if fac is None else fac[0] + fac[1]
         self._cache = {}
@@ -232,6 +234,20 @@ class FusedProver:
             ("w_Nc_inv", f.inv(f.get_root_of_unity(Nc)), Nc // 2),
             ("dom_fwd", rou, Ne),
         ]
+        # 4-step twiddle panels T[k1, i2] = root^(k1*i2), flat [L, n]: when
+        # a transform runs as the single-chip 4-step decomposition
+        # (ntt._four_step_local) its panel is shipped as a direct pack
+        # parameter so the program never rebuilds it (the in-program
+        # build is a full-domain concat + gather per transform); capped at
+        # 2^18 so the pack upload stays a few MB.
+        from .. import ntt as _ntt
+        for key, seed, size in (("w_T_inv", specs[0][1], T),
+                                ("w_Ne", specs[1][1], Ne),
+                                ("w_Nc", specs[2][1], Nc),
+                                ("w_Nc_inv", specs[3][1], Nc)):
+            if (jax.default_backend() == "tpu" and size <= (1 << 18)
+                    and _ntt._four_step_local(size)):
+                specs.append((f"p4_{key}", seed, size, "panel"))
         # per-depth FRI fold tables (w^(4^d))^i and inverse, i < N_d/4 — the
         # strided picks the folds need, WITHOUT ever holding full forward +
         # inverse domain tables (each [L, Ne] = 512 MB at Ne = 2^24)
@@ -275,7 +291,16 @@ class FusedProver:
             params = self.field.params
             p = self.field.modulus
             parts = []
-            for _, seed, ln in self._table_specs:
+            for spec in self._table_specs:
+                _, seed, ln = spec[:3]
+                if len(spec) > 3:            # 4-step twiddle panel
+                    n1 = 1 << ((ln.bit_length() - 1) // 2)
+                    n2 = ln // n1
+                    series = power_series_mont_np(params, seed, ln)
+                    idx = (np.arange(n1, dtype=np.int64)[:, None] *
+                           np.arange(n2, dtype=np.int64)[None, :]).reshape(-1)
+                    parts.append(np.ascontiguousarray(series[:, idx]))
+                    continue
                 fac = self._factored(ln)
                 if fac is None:
                     parts.append(power_series_mont_np(params, seed, ln))
@@ -339,13 +364,17 @@ class FusedProver:
             from jax.experimental.layout import Layout, with_layout_constraint
             return with_layout_constraint(x, Layout(major_to_minor=(0, 1)))
 
-        def transform(x, n, w_table):
+        def transform(x, n, w_key):
+            w_table = tb[w_key]
             if mesh is not None and can_distribute(n, n_dev):
                 return shard_dom(dist_ntt_core(field, x, n, w_table, mesh))
+            panel = tb.get("p4_" + w_key)
+            if panel is not None:
+                return ntt._four_step_core(field, x, n, w_table, panel=panel)
             return ntt.ntt_core_table(field, x, n, w_table)
 
         def intt_t(x):
-            out = transform(x, T, tb["w_T_inv"])
+            out = transform(x, T, "w_T_inv")
             n_inv = dev.const(f.inv(T % field.modulus), shape=(1,))
             moved = jnp.moveaxis(out, -2, 0) if out.ndim > 2 else out
             scaled = dev.mont_mul(moved, n_inv)
@@ -353,7 +382,7 @@ class FusedProver:
 
         def lde(x, n, w_key):
             pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
-            return transform(jnp.pad(x, pad), n, tb[w_key])
+            return transform(jnp.pad(x, pad), n, w_key)
 
         def cmap1(fn, *arrays):
             """Apply an elementwise(-along-the-domain) op in sequential
@@ -382,14 +411,16 @@ class FusedProver:
 
         return tb, shard_dom, pin_rows_minor, intt_t, lde, cmap1
 
-    def _stage_commit(self, trace_std, statics_std, tpack):
+    def _stage_commit(self, trace_std, statics_std, tpack, keep_mont=False):
         """Reference steps 3-4 (/root/reference/lib/Stark.ts:104-119):
         trace interpolation, LDE, static-register evaluations, evaluation
         Merkle tree.  Returns (p_polys, static_polys, e_std, e_flat, e_root)
         — deliberately NOT the Montgomery-form evaluation arrays: in split
         mode those would pin an extra ~1.5 GB across the stage boundary at
         Ne = 2^24, and stage B reconstructs them from e_std with one cheap
-        to-Montgomery pass."""
+        to-Montgomery pass.  In the single-program pipeline (keep_mont=True)
+        there is no stage boundary, so the Montgomery forms are returned
+        too and the reconstruction multiply is skipped entirely."""
         context = self.context
         field = self.field
         dev = field.device
@@ -397,6 +428,7 @@ class FusedProver:
         Ne = self.Ne
         Nc = context.composition_domain_size
         R = context.schema.trace_width
+        T = context.trace_length
         elem = field.element_size
         tb, shard_dom, pin_rows_minor, intt_t, lde, cmap1 = \
             self._helpers(tpack)
@@ -406,11 +438,16 @@ class FusedProver:
         # several full-domain temps alive at once — at Ne = 2^24 that pushed
         # the stage's peak HBM past capacity.  Each barrier closes a phase
         # so its temps can be freed before the next phase's are allocated.
-        barrier = jax.lax.optimization_barrier
+        # Only the large-domain split mode needs them; in the single-program
+        # small-domain mode they just serialize the schedule (measured ~10%
+        # steady-state cost at Ne = 2^17), so they are identity there.
+        barrier = jax.lax.optimization_barrier if self._split else \
+            (lambda x: x)
 
         trace = _to_mont_batch(dev, trace_std)                  # [R, L, T]
         p_polys = intt_t(trace)
         p_evals = lde(p_polys, Ne, "w_Ne")                      # [R, L, Ne]
+        e_vectors_mont = [p_evals[r] for r in range(R)]
         e_vectors_std = [cmap1(dev._from_mont, p_evals[r]) for r in range(R)]
         p_polys, e_vectors_std = barrier((p_polys, e_vectors_std))
 
@@ -421,6 +458,7 @@ class FusedProver:
             static_polys = intt_t(statics)
             for k in self.secret_idx:
                 s_eval = lde(static_polys[k], Ne, "w_Ne")
+                e_vectors_mont.append(s_eval)
                 e_vectors_std.append(cmap1(dev._from_mont, s_eval))
                 e_vectors_std = barrier(e_vectors_std)
         else:
@@ -433,10 +471,13 @@ class FusedProver:
         leaves = barrier(leaves)
         e_flat = pin_rows_minor(build_tree_flat(hash_, leaves, Ne))
         e_root = fs.root_words(e_flat, Ne)
+        if keep_mont:
+            return (p_polys, static_polys, e_std, e_flat, e_root,
+                    e_vectors_mont)
         return p_polys, static_polys, e_std, e_flat, e_root
 
     def _stage_lcomb(self, p_polys, static_polys, e_std, i_polys_std, e_root,
-                     tpack):
+                     tpack, evals_mont=None):
         """Reference steps 5-6 (Stark.ts:121-131): composition polynomial +
         random linear combination, with the transcript coefficients derived
         on device from the e-tree root.  Montgomery-form P/S evaluations are
@@ -489,13 +530,20 @@ class FusedProver:
                                        e_std, d_coeffs, b_coeffs, l_coeffs,
                                        chunks)
 
-        p_evals = jnp.stack([cmap1(dev._to_mont, e_std[r]) for r in range(R)])
-        s_evals = [cmap1(dev._to_mont, e_std[R + i])
-                   for i in range(e_std.shape[0] - R)]
+        if evals_mont is not None:       # single-program mode: forms alive
+            p_evals = jnp.stack(evals_mont[:R])
+            s_evals = list(evals_mont[R:])
+        else:
+            p_evals = jnp.stack([cmap1(dev._to_mont, e_std[r])
+                                 for r in range(R)])
+            s_evals = [cmap1(dev._to_mont, e_std[R + i])
+                       for i in range(e_std.shape[0] - R)]
         c_tables = {
             "domain": tb["dom_fwd"],
             "nc_inv_w": tb["w_Nc_inv"],
             "ne_fwd_w": tb["w_Ne"],
+            "nc_inv_panel": tb.get("p4_w_Nc_inv"),
+            "ne_fwd_panel": tb.get("p4_w_Ne"),
             "incr": tb.get("incr"),
             "adjust": {gi: tb[f"adj{gi}"]
                        for gi, g in enumerate(self.c_poly.constraint_groups)
@@ -706,10 +754,11 @@ class FusedProver:
           roots    [1 + n_layers, 8]     — e-root, lc-root, column roots...
           remainder_std [L, remainder]
         """
-        p_polys, static_polys, e_std, e_flat, e_root = self._stage_commit(
-            trace_std, statics_std, tpack)
+        p_polys, static_polys, e_std, e_flat, e_root, evals_mont = \
+            self._stage_commit(trace_std, statics_std, tpack, keep_mont=True)
         l_evals = self._stage_lcomb(p_polys, static_polys, e_std,
-                                    i_polys_std, e_root, tpack)
+                                    i_polys_std, e_root, tpack,
+                                    evals_mont=evals_mont)
         fri_cat, vals_cat, fri_roots, remainder_std = self._stage_fri(
             l_evals, tpack)
         roots_cat = jnp.concatenate([e_root[None], fri_roots], axis=0)

@@ -21,6 +21,26 @@ def test_four_step_matches_direct(modulus, n):
     assert four == direct
 
 
+def test_four_step_panel_parameter(n=1 << 12):
+    """A precomputed twiddle panel (the fused prover's pack parameter) must
+    give the same transform as the in-program gather build."""
+    import jax.numpy as jnp
+    from genstark_tpu.field.limbs import power_series_mont_np
+    field = create_prime_field(P128)
+    rng = np.random.default_rng(3)
+    vals = [int(v) % field.modulus for v in rng.integers(0, 1 << 63, size=n)]
+    x = field.device.from_ints(vals)
+    plan = ntt.get_plan(field, n, False)
+    n1 = 1 << ((n.bit_length() - 1) // 2)
+    n2 = n // n1
+    series = power_series_mont_np(field.params, plan.w, n)
+    idx = (np.arange(n1)[:, None] * np.arange(n2)[None, :]).reshape(-1)
+    panel = jnp.asarray(np.ascontiguousarray(series[:, idx]))
+    with_panel = ntt._four_step_core(field, x, n, plan.w_table, panel=panel)
+    without = ntt._four_step_core(field, x, n, plan.w_table)
+    assert field.device.to_ints(with_panel) == field.device.to_ints(without)
+
+
 def test_four_step_batched(batch=3, n=1 << 12):
     field = create_prime_field(P32)
     rng = np.random.default_rng(11)

@@ -51,6 +51,18 @@ def test_sharded_proof_bytes_match_single_device(mesh8):
     assert sharded == single
 
 
+def test_sharded_proof_bytes_match_single_device_p128_small(mesh8):
+    """Multi-limb (L=8) sharding in the DEFAULT suite: Ne = 256 keeps the
+    XLA:CPU compile small (no FRI fold — the fold collectives are covered by
+    the P32 test above) while still exercising the distributed 4-step NTT,
+    sharded hashing/Merkle and the linear combination over 8 devices with
+    4-limb elements."""
+    opts = {"extension_factor": 4, "exe_query_count": 8, "fri_query_count": 6}
+    single = _mimc_proof(64, P128, opts, None)
+    sharded = _mimc_proof(64, P128, opts, mesh8)
+    assert sharded == single
+
+
 @pytest.mark.slow
 def test_sharded_proof_bytes_match_single_device_p128(mesh8):
     single = _mimc_proof(128, P128, _OPTS, None)
