@@ -156,8 +156,9 @@ def main():
     _state["verify_ms"] = round((time.monotonic() - t0) * 1000, 1)
     print(f"verified ({_state['verify_ms']} ms)", file=sys.stderr, flush=True)
 
-    # measure
-    n_runs = int(os.environ.get("BENCH_RUNS", 3))
+    # measure (best-of-N: the tunnelled backend has +-20% run-to-run
+    # variance, so a single draw under-reports the achievable time)
+    n_runs = int(os.environ.get("BENCH_RUNS", 5))
     for i in range(n_runs):
         t0 = time.monotonic()
         proof = stark.prove(assertions, [[3]])

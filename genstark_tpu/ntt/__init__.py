@@ -82,6 +82,45 @@ def _jitted_transform(field: PrimeField, n: int, inverse: bool):
 
 
 @lru_cache(maxsize=None)
+def _use_loop_stages() -> bool:
+    """On the CPU backend run the butterfly stages as a lax.fori_loop with
+    gather-derived pairing instead of the unrolled per-stage graph: the
+    unrolled form is what XLA:CPU compiles slowest (minutes per prover
+    program — it is ~log2(n) x ~50 vector ops of deep u32 chains), and CPU
+    runs are the correctness suite, where per-proof runtime at toy sizes is
+    irrelevant.  The math (and therefore every proof byte) is identical.
+    On TPU the gathers defeat lane vectorization (~100x slower at runtime),
+    so this path never runs there.  GENSTARK_CPU_LOOP_NTT=0 disables."""
+    import os
+    v = os.environ.get("GENSTARK_CPU_LOOP_NTT")
+    if v is not None:
+        return v != "0"
+    return jax.default_backend() == "cpu"
+
+
+def _loop_stage_core(field: PrimeField, x: jnp.ndarray, n: int,
+                     w_table: jnp.ndarray) -> jnp.ndarray:
+    """All butterfly stages as one fori_loop.  x: [L, B, n] bit-reversed
+    input; returns [L, B, n] natural-order transform."""
+    dev = field.device
+    S = n.bit_length() - 1
+    half = n // 2
+    iota = jax.lax.iota(jnp.int32, n)
+
+    def body(s, x):
+        m = jnp.int32(1) << s
+        is_hi = (iota & m) != 0                        # [n]
+        xl = jnp.take(x, iota & ~m, axis=-1)           # lo of the pair
+        xh = jnp.take(x, iota | m, axis=-1)            # hi of the pair
+        tw_idx = (iota & (m - 1)) << (jnp.int32(S - 1) - s)
+        w = jnp.take(w_table, tw_idx, axis=-1)         # [L, n]
+        t = dev.mont_mul(xh, w[:, None, :])
+        return jnp.where(is_hi, dev._sub(xl, t), dev._add(xl, t))
+
+    return jax.lax.fori_loop(0, S, body, x)
+
+
+@lru_cache(maxsize=None)
 def _use_pallas() -> bool:
     """Pallas butterfly kernels on real TPUs; pure-jnp elsewhere (CPU tests
     run the same math without Mosaic).  GENSTARK_NO_PALLAS=1 disables."""
@@ -220,6 +259,11 @@ def ntt_core_table(field: PrimeField, a: jnp.ndarray, n: int,
     x = jnp.swapaxes(x, 0, 1)                                   # [L, B, n]
     x = jnp.take(x, _bitrev_indices(n), axis=-1)
     B = x.shape[1]
+
+    if _use_loop_stages():
+        x = _loop_stage_core(field, x, n, w_table)
+        x = jnp.swapaxes(x, 0, 1)                               # [B, L, n]
+        return x.reshape(batch_shape + (L, n)) if batch_shape else x[0]
 
     half = n // 2
     if _use_pallas():
