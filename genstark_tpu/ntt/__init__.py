@@ -53,6 +53,17 @@ class NttPlan:
             self.w_table = field.device.power_series(1, 1)
         if inverse:
             self.n_inv = field.inv(n % field.modulus)
+        # 4-step twiddle panel, built once per plan (one gather) so the
+        # standalone transform path does not rebuild it on every call
+        self.panel = None
+        if _use_pallas() and _four_step_local(n):
+            n1 = 1 << ((n.bit_length() - 1) // 2)
+            dev = field.device
+            full = jnp.concatenate([self.w_table, dev.neg(self.w_table)],
+                                   axis=1)
+            idx = (jax.lax.iota(jnp.int32, n1)[:, None] *
+                   jax.lax.iota(jnp.int32, n // n1)[None, :])
+            self.panel = jnp.take(full, idx.reshape(-1), axis=1)
 
 
 @lru_cache(maxsize=None)
@@ -63,11 +74,16 @@ def get_plan(field: PrimeField, n: int, inverse: bool) -> NttPlan:
 @lru_cache(maxsize=None)
 def _jitted_transform(field: PrimeField, n: int, inverse: bool):
     """Whole-transform jit (cached per field/size/direction); jax re-traces
-    per batch shape automatically."""
+    per batch shape automatically.  The twiddle table and 4-step panel are
+    passed as ARGUMENTS (not closed over) so they are program parameters,
+    never multi-MB constants baked into the executable."""
     plan = get_plan(field, n, inverse)
 
-    def run(a):
-        out = _ntt_core(field, a, plan)
+    def run(a, w_table, panel):
+        if panel is not None:
+            out = _four_step_core(field, a, n, w_table, panel=panel)
+        else:
+            out = ntt_core_table(field, a, n, w_table)
         if inverse:
             dev = field.device
             n_inv = dev.const(plan.n_inv, shape=(1,))
@@ -78,7 +94,8 @@ def _jitted_transform(field: PrimeField, n: int, inverse: bool):
             return jnp.moveaxis(scaled, 0, -2)
         return out
 
-    return jax.jit(run)
+    jitted = jax.jit(run)
+    return lambda a: jitted(a, plan.w_table, plan.panel)
 
 
 @lru_cache(maxsize=None)
@@ -143,7 +160,11 @@ def _bitrev_indices(n: int) -> jnp.ndarray:
 
 def _ntt_core(field: PrimeField, a: jnp.ndarray, plan) -> jnp.ndarray:
     """Plan-based wrapper over ntt_core_table (kept for callers that hold an
-    NttPlan, e.g. the distributed transforms)."""
+    NttPlan, e.g. the distributed transforms).  Uses the plan's prebuilt
+    4-step panel when one exists."""
+    if plan.panel is not None:
+        return _four_step_core(field, a, plan.n, plan.w_table,
+                               panel=plan.panel)
     return ntt_core_table(field, a, plan.n, plan.w_table)
 
 
