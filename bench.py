@@ -94,27 +94,51 @@ def _on_term(signum, frame):
 
 def bench_ntt():
     """North-star kernel metric (BASELINE.json): NTT butterflies/s/chip over
-    the 128-bit field.  BENCH_NTT_N sets the transform size (default 2^20)."""
+    the 128-bit field.  BENCH_NTT_N sets the transform size (default 2^20).
+
+    K transforms are chained inside ONE program and completion is forced by
+    a 4-byte fetch: the tunnelled backend has a ~27 ms dispatch floor and
+    block_until_ready alone under-reports trivial programs (same method as
+    scripts/roofline.py)."""
     import jax.numpy as jnp
+    import numpy as np
     from genstark_tpu import ntt
     from genstark_tpu.field import P128, create_prime_field
 
     n = int(os.environ.get("BENCH_NTT_N", 2 ** 20))
+    k = int(os.environ.get("BENCH_NTT_CHAIN", 4))
     field = create_prime_field(P128)
+    plan = ntt.get_plan(field, n, False)
+
+    @jax.jit
+    def f(a, w_table, panel):
+        for _ in range(k):
+            if panel is not None:
+                a = ntt._four_step_core(field, a, n, w_table, panel=panel)
+            else:
+                a = ntt.ntt_core_table(field, a, n, w_table)
+        return a
+
+    def run(x):
+        out = f(x, plan.w_table, plan.panel)
+        np.asarray(jax.lax.slice(out.reshape(-1), (0,), (1,)))  # force
+        return out
+
     x = field.device.from_ints([3] * n)
-    ntt.ntt(field, x).block_until_ready()          # compile
+    run(x)                                          # compile + load
     n_runs = int(os.environ.get("BENCH_RUNS", 5))
     best = float("inf")
     for _ in range(n_runs):
         t0 = time.monotonic()
-        ntt.ntt(field, x).block_until_ready()
+        run(x)
         best = min(best, time.monotonic() - t0)
-    butterflies = (n // 2) * (n.bit_length() - 1)
+    butterflies = k * (n // 2) * (n.bit_length() - 1)
     print(json.dumps({
         "metric": f"ntt128_2^{n.bit_length() - 1}_butterflies_per_s",
         "value": round(butterflies / best),
         "unit": "butterflies/s/chip",
         "seconds": round(best, 4),
+        "chained_transforms": k,
         "vs_baseline": None,
         "platform": jax.devices()[0].platform,
     }), flush=True)

@@ -17,6 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
 # the legacy emitters compile the same graphs in seconds.
 if "xla_cpu_use_fusion_emitters" not in flags:
     flags += " --xla_cpu_use_fusion_emitters=false"
+# Tests are compile-bound (2-core CI box), not run-bound: backend opt level 0
+# cuts prover-program compiles ~30% and cannot change results (all math here
+# is exact integer ops).
+if "xla_backend_optimization_level" not in flags:
+    flags += " --xla_backend_optimization_level=0"
 os.environ["XLA_FLAGS"] = flags.strip()
 
 import sys
