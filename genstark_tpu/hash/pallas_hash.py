@@ -161,16 +161,23 @@ def _min_batch() -> int:
     program, and on the remote-compile backend each one lengthens the
     one-time warmup; the small Merkle levels are a geometric tail of the
     runtime, so hashing them with the plain-jnp compressors costs ~nothing
-    per proof while dropping ~6 kernel compiles per program."""
+    per proof while dropping kernel compiles from the program.
+
+    Default 16384 is measured, not guessed (scripts/hash_sweep.py on v5e,
+    HASHSWEEP_r03.json): per tree level the Pallas kernel beats the jnp
+    compressors by 1.4-1.8x at batches >= 2^14 (1.77 vs 2.06 ms at 2^14,
+    1.86 vs 3.30 ms at 2^17) and is a wash at 2^13 (1.99 vs 1.81 ms), so
+    routing <2^14 to jnp trades ~zero runtime for one fewer Mosaic compile
+    per tree."""
     import os
     import warnings
     raw = os.environ.get("GENSTARK_PALLAS_HASH_MIN", "")
     try:
-        return int(raw) if raw else 8192
+        return int(raw) if raw else 16384
     except ValueError:
         warnings.warn(f"GENSTARK_PALLAS_HASH_MIN={raw!r} is not an int; "
-                      "using default 8192")
-        return 8192
+                      "using default 16384")
+        return 16384
 
 
 def supported(batch: int) -> bool:

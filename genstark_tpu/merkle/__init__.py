@@ -65,7 +65,7 @@ def build_tree_flat(h: "Hash", leaves: jnp.ndarray, n: int) -> jnp.ndarray:
     out = jnp.zeros((8, tree_row_count(n)), dtype=jnp.uint32)
     out = jax.lax.dynamic_update_slice(out, leaves, (0, 0))
 
-    U = min(_EXACT_LEVELS, depth)
+    U = min(_exact_levels(), depth)
     cur = leaves
     for k in range(1, U + 1):
         cur = h.hash_pairs(cur)               # [8, n/2^k], exact size
@@ -90,16 +90,35 @@ def build_tree_flat(h: "Hash", leaves: jnp.ndarray, n: int) -> jnp.ndarray:
 _EXACT_LEVELS = 4    # levels built at exact size (the hybrid schedule's U)
 
 
+@lru_cache(maxsize=None)
+def _exact_levels() -> int:
+    """The hybrid schedule's U, per backend: 4 on TPU (exact top levels
+    hold ~94% of the hash work — the windowed tail would waste real time);
+    1 on CPU, where tests are COMPILE-bound and every exact level is one
+    more unrolled compression graph per tree (the windowed tail re-hashes a
+    fixed n/4 window per level, which only costs negligible toy-size
+    runtime).  Proof bytes are unaffected: U changes which rows of the
+    internal flat buffer hold each level, and _level_offset uses the same U
+    as the build within a process, so every fetched node value is
+    identical."""
+    import os
+    v = os.environ.get("GENSTARK_EXACT_LEVELS")
+    if v is not None:
+        return int(v)
+    import jax
+    return _EXACT_LEVELS if jax.default_backend() == "tpu" else 1
+
+
 def _level_window(n: int, level: int) -> int:
     """Row window reserved for `level` in the hybrid flat layout: exact size
     for the top U levels, fixed n/2^(U+1) for the rest."""
-    U = min(_EXACT_LEVELS, n.bit_length() - 1)
+    U = min(_exact_levels(), n.bit_length() - 1)
     return n >> level if level <= U else n >> (U + 1)
 
 
 def _level_offset(n: int, level: int) -> int:
     """Row offset of `level` in the hybrid flat layout."""
-    U = min(_EXACT_LEVELS, n.bit_length() - 1)
+    U = min(_exact_levels(), n.bit_length() - 1)
     exact = min(level, U + 1)
     off = (2 * n - (n >> (exact - 1))) if exact else 0   # sum of n>>j, j<exact
     return off + max(0, level - U - 1) * (n >> (U + 1))

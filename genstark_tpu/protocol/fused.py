@@ -782,12 +782,22 @@ class FusedProver:
         marks.append(("host prep", time.monotonic()))
         if self._split:
             jit_a, jit_b, jit_c = self._jit_stages
+            # GENSTARK_STAGE_TIMING forces a tiny fetch after each stage so
+            # the marks attribute time per stage (costs 2 extra round-trips;
+            # diagnostics only)
+            stage_sync = (lambda x: np.asarray(jax.lax.slice(
+                x.reshape(-1), (0,), (1,)))) if \
+                os.environ.get("GENSTARK_STAGE_TIMING") else (lambda x: None)
             p_polys, static_polys, e_std, e_flat, e_root_dev = jit_a(
                 self._put(trace_std), self._put(statics_np),
                 self._get_pack())
+            stage_sync(e_flat)
+            marks.append(("stage A (commit)", time.monotonic()))
             l_evals = jit_b(p_polys, static_polys, e_std,
                             self._put(i_polys_np), e_root_dev,
                             self._get_pack())
+            stage_sync(l_evals)
+            marks.append(("stage B (lcomb)", time.monotonic()))
             # free the full-domain stage inputs before the FRI chain runs
             del p_polys, static_polys
             fri_cat, vals_cat, fri_roots, remainder_dev = jit_c(

@@ -16,14 +16,14 @@ def test_mimc_small_input_variant():
     # light query counts: the reference's perf options (ext=16/exe=48/fri=24)
     # are exercised on the real chip by bench.py; here the path coverage is
     # what matters and compile time is the cost driver
-    stats = mimc.run(steps=2 ** 7, options={"extension_factor": 8,
+    stats = mimc.run(steps=2 ** 6, options={"extension_factor": 8,
                                             "exe_query_count": 12,
                                             "fri_query_count": 8})
     assert stats["security_level"] > 0
 
 
 def test_mimc_small_assembly_variant():
-    stats = mimc.run(steps=2 ** 7, use_input=False,
+    stats = mimc.run(steps=2 ** 6, use_input=False,
                      options={"extension_factor": 8, "exe_query_count": 12,
                               "fri_query_count": 8})
     assert stats["security_level"] > 0
