@@ -38,6 +38,8 @@ except Exception:
     pass
 # Persistent compilation cache: XLA:CPU compiles of wide-field kernels are the
 # dominant test cost; cache them across runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/genstark_jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("GENSTARK_TEST_CACHE_DIR",
+                                 "/tmp/genstark_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
