@@ -61,6 +61,25 @@ def digits_from_limbs(limbs: jnp.ndarray, n_digits: int) -> jnp.ndarray:
 
 
 @lru_cache(maxsize=None)
+def _hankel_matrix_digits(field: PrimeField, n: int) -> jnp.ndarray:
+    """int8[(2D-1)*n, D*n] block-Hankel arrangement H[(k,r), (j,c)] =
+    Wd_{k-j}[r, c] (zero blocks outside 0 <= k-j < D): ONE s8 matmul
+    H @ X8_flat yields every digit-diagonal sum S_k at once — the per-digit
+    dot formulation writes (2D-1) s32 intermediates per digit pair to HBM
+    and reads them back for bucketing, which dominates the runtime (~10 of
+    14 ms at n=512); the Hankel dot doubles the MAC count (zero blocks) but
+    makes the accumulation free inside the MXU.  Size grows as D^2*n^2 — at
+    n > ~1024 use digit-blocked tiles instead (round-4)."""
+    W8 = np.asarray(_dft_matrix_digits(field, n))
+    D = W8.shape[0]
+    H = np.zeros(((2 * D - 1) * n, D * n), dtype=np.int8)
+    for k in range(2 * D - 1):
+        for j in range(max(0, k - D + 1), min(D, k + 1)):
+            H[k * n:(k + 1) * n, j * n:(j + 1) * n] = W8[k - j]
+    return jnp.asarray(H)
+
+
+@lru_cache(maxsize=None)
 def _dft_matrix_digits(field: PrimeField, n: int) -> jnp.ndarray:
     """int8[D, n, n]: digit-decomposed DFT matrix W[r, c] = w^(r*c) for the
     canonical size-n root (host-built once per (field, n))."""
@@ -161,23 +180,33 @@ def mxu_dft(field: PrimeField, x_std: jnp.ndarray, n: int) -> jnp.ndarray:
     """
     assert field.element_size == 16, "prototype supports the 128-bit field"
     D = _n_digits(128)
-    W8 = _dft_matrix_digits(field, n)                  # [D, n, n] int8
     L, n_in, B = x_std.shape
     assert n_in == n
     X8 = digits_from_limbs(x_std, D)                   # [D, n, B] int8
-    Wflat = W8.reshape(D * n, n)                       # stack W-digit rows
-
-    # S_k = sum_{i+j=k} Wd_i @ Xd_j : D dots of [D*n, n] @ [n, B]
     n_k = 2 * D - 1
-    acc = [None] * n_k
-    for j in range(D):
+
+    if D * n <= (1 << 14):
+        # single block-Hankel dot: every S_k in one matmul, no s32
+        # intermediate round-trips (see _hankel_matrix_digits)
+        H = _hankel_matrix_digits(field, n)
         prod = jax.lax.dot_general(
-            Wflat, X8[j], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)          # [D*n, B]
-        prod = prod.reshape(D, n, B)
-        for i in range(D):
-            k = i + j
-            acc[k] = prod[i] if acc[k] is None else acc[k] + prod[i]
+            H, X8.reshape(D * n, B), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)          # [(2D-1)*n, B]
+        prod = prod.reshape(n_k, n, B)
+        acc = [prod[k] for k in range(n_k)]
+    else:
+        # digit-blocked fallback: D dots of [D*n, n] @ [n, B]
+        W8 = _dft_matrix_digits(field, n)              # [D, n, n] int8
+        Wflat = W8.reshape(D * n, n)
+        acc = [None] * n_k
+        for j in range(D):
+            prod = jax.lax.dot_general(
+                Wflat, X8[j], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)      # [D*n, B]
+            prod = prod.reshape(D, n, B)
+            for i in range(D):
+                k = i + j
+                acc[k] = prod[i] if acc[k] is None else acc[k] + prod[i]
 
     # recombine: value = sum_k S_k * 2^(7k) -> lazy 16-bit limbs
     total_bits = DIGIT_BITS * (n_k - 1) + 36
