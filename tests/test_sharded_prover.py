@@ -42,7 +42,11 @@ def _mimc_proof(steps, modulus, options, mesh):
 # Ne = 128*4 = 512 > 256 -> exactly one FRI fold, so the sharded path covers
 # iNTT, LDE, composition (roll/Z-inverse/boundary), linear combination, a
 # fold with its stride transpose, both Merkle trees, and proof extraction.
-_OPTS = {"extension_factor": 4, "exe_query_count": 12, "fri_query_count": 8}
+# Config matches tests/test_split_stages.py exactly so the single-device
+# baseline proof compiles ONE shared program across the files (the suite is
+# XLA:CPU-compile-bound; identical (schema, steps, ext, queries, assertion
+# structure) -> identical program -> one compile + cache hits).
+_OPTS = {"extension_factor": 4, "exe_query_count": 10, "fri_query_count": 6}
 
 
 def test_sharded_proof_bytes_match_single_device(mesh8):

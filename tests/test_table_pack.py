@@ -9,10 +9,12 @@ from genstark_tpu.field import P32
 from genstark_tpu.protocol import Assertion
 from genstark_tpu.protocol.fused import FusedProver
 
-_OPTS = {"extension_factor": 4, "exe_query_count": 8, "fri_query_count": 6}
+# matches tests/test_split_stages.py so the direct-pack baseline program is
+# shared across files (compile-bound suite; see test_sharded_prover.py note)
+_OPTS = {"extension_factor": 4, "exe_query_count": 10, "fri_query_count": 6}
 
 
-def _proof_bytes(steps=64):
+def _proof_bytes(steps=128):
     stark, constants = make_mimc_stark(steps, modulus=P32, use_input=False,
                                        constant_count=16, options=_OPTS)
     field = stark.air.field
