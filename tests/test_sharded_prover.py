@@ -60,11 +60,21 @@ def test_sharded_proof_bytes_match_single_device_p128_small(mesh8):
     XLA:CPU compile small (no FRI fold — the fold collectives are covered by
     the P32 test above) while still exercising the distributed 4-step NTT,
     sharded hashing/Merkle and the linear combination over 8 devices with
-    4-limb elements."""
+    4-limb elements.
+
+    The single-device baseline is PINNED (sha256 of the proof bytes) rather
+    than recomputed — the suite is compile-bound and the baseline program
+    would double this test's cost; regenerate the pin with the snippet in
+    the assert message if the transcript legitimately changes."""
+    import hashlib
     opts = {"extension_factor": 4, "exe_query_count": 8, "fri_query_count": 6}
-    single = _mimc_proof(64, P128, opts, None)
     sharded = _mimc_proof(64, P128, opts, mesh8)
-    assert sharded == single
+    assert (len(sharded), hashlib.sha256(sharded).hexdigest()) == (
+        7329,
+        "3fa3bc9f84d3505912258df9974587b18b35619116a2787786b3beacd3cc4917"), \
+        ("sharded p128 proof differs from the pinned single-device bytes; "
+         "regenerate via _mimc_proof(64, P128, opts, None) if the "
+         "transcript change is intentional")
 
 
 @pytest.mark.slow
