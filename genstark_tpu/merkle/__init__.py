@@ -104,7 +104,12 @@ def _exact_levels() -> int:
     import os
     v = os.environ.get("GENSTARK_EXACT_LEVELS")
     if v is not None:
-        return int(v)
+        try:
+            return int(v)
+        except ValueError:
+            import warnings
+            warnings.warn(f"GENSTARK_EXACT_LEVELS={v!r} is not an int; "
+                          "using the backend default")
     import jax
     return _EXACT_LEVELS if jax.default_backend() == "tpu" else 1
 

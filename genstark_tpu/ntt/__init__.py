@@ -53,10 +53,18 @@ class NttPlan:
             self.w_table = field.device.power_series(1, 1)
         if inverse:
             self.n_inv = field.inv(n % field.modulus)
+        # MXU multi-level tables (128-bit field on TPU): the whole transform
+        # runs as digit-matmul DFT levels, so neither the butterfly kernels
+        # nor the 4-step panel are needed; the iNTT's n^-1 scale folds into
+        # the level-1 digit matrix (no separate scaling pass)
+        self.mxu = None
+        if mxu_applicable(field, n):
+            scale = self.n_inv if inverse else 1
+            self.mxu = get_mxu_plan(field, n, w, scale).bundle()
         # 4-step twiddle panel, built once per plan (one gather) so the
         # standalone transform path does not rebuild it on every call
         self.panel = None
-        if _use_pallas() and _four_step_local(n):
+        if self.mxu is None and _use_pallas() and _four_step_local(n):
             n1 = 1 << ((n.bit_length() - 1) // 2)
             dev = field.device
             full = jnp.concatenate([self.w_table, dev.neg(self.w_table)],
@@ -79,8 +87,12 @@ def _jitted_transform(field: PrimeField, n: int, inverse: bool):
     never multi-MB constants baked into the executable."""
     plan = get_plan(field, n, inverse)
 
-    def run(a, w_table, panel):
-        if panel is not None:
+    def run(a, w_table, panel, mxu_tabs):
+        if mxu_tabs is not None:
+            # n^-1 for the inverse transform is folded into the plan's
+            # level-1 digit matrix — no separate scaling pass
+            return mxu_transform_core(field, a, n, mxu_tabs)
+        elif panel is not None:
             out = _four_step_core(field, a, n, w_table, panel=panel)
         else:
             out = ntt_core_table(field, a, n, w_table)
@@ -95,7 +107,7 @@ def _jitted_transform(field: PrimeField, n: int, inverse: bool):
         return out
 
     jitted = jax.jit(run)
-    return lambda a: jitted(a, plan.w_table, plan.panel)
+    return lambda a: jitted(a, plan.w_table, plan.panel, plan.mxu)
 
 
 @lru_cache(maxsize=None)
@@ -145,6 +157,187 @@ def _use_pallas() -> bool:
     if os.environ.get("GENSTARK_NO_PALLAS"):
         return False
     return jax.default_backend() == "tpu"
+
+
+# ------------------------------------------------------ MXU multi-level NTT
+@lru_cache(maxsize=None)
+def _use_mxu() -> bool:
+    """MXU (int8-matmul) DFT locals for the 128-bit field (ntt/mxu.py).
+    GENSTARK_MXU=0 disables, =1 forces (the XLA reference path runs the
+    identical math on CPU); default: on wherever the Pallas kernels are."""
+    import os
+    v = os.environ.get("GENSTARK_MXU")
+    if v is not None:
+        return v != "0"
+    return _use_pallas()
+
+
+@lru_cache(maxsize=None)
+def _mxu_min_n() -> int:
+    import os
+    try:
+        return int(os.environ.get("GENSTARK_MXU_MIN", 1 << 13))
+    except ValueError:
+        return 1 << 13
+
+
+_MXU_LEVEL_BITS = 7          # level size 128: best measured bf/s (MXU_r04)
+
+
+def mxu_levels(n: int):
+    """Level sizes for the multi-level MXU decomposition of an n-point
+    transform: floor(log2(n)/7) levels of 128 plus one small trailing level
+    for the remaining bits — EVERY level is a digit-matmul DFT on the MXU
+    (the kernel accepts any power-of-two m: whole-array blocks are legal
+    below the 128-lane tile), so no VPU residual transform exists.  None
+    when n is too small."""
+    bits = n.bit_length() - 1
+    q, rb = divmod(bits, _MXU_LEVEL_BITS)
+    if q < 1:
+        return None
+    levels = [1 << _MXU_LEVEL_BITS] * q
+    if rb:
+        levels.append(1 << rb)
+    return levels
+
+
+def mxu_applicable(field: PrimeField, n: int) -> bool:
+    return (_use_mxu() and field.element_size == 16 and n >= _mxu_min_n()
+            and mxu_levels(n) is not None)
+
+
+def mxu_table_specs(field: PrimeField, n: int, root: int, scale: int = 1):
+    """Host-side table recipe for one MXU multi-level transform:
+    (w8_roots, [(A_seed, cols) , (B_seed, s)) per level], res_seed).
+
+    All levels use the canonical 2^7-root relative to `root`; `scale`
+    (e.g. the iNTT's n^-1) is folded into LEVEL 1's digit matrix — every
+    output passes through level 1 exactly once and the rest is linear, so a
+    single scaled matrix scales the whole transform.  Each level with
+    rest > 1 gets the factored twiddle pair A[k, h] = w_l^(k*h*s),
+    B[k, t] = w_l^(k*t) — O(sqrt(rest)) entries instead of the O(n) panel."""
+    from .mxu import twiddle_split
+    levels = mxu_levels(n)
+    p = field.modulus
+    root %= p
+    w8_roots = []
+    ab = []
+    n_l = n
+    for m in levels:
+        rest = n_l // m
+        w_l = pow(root, n // n_l, p)        # canonical n_l-root wrt `root`
+        w8_roots.append(pow(w_l, rest, p))  # canonical m-root
+        if rest > 1:
+            s = twiddle_split(rest)
+            if s == 0:                      # direct period-`rest` panel
+                ab.append(("d", w_l, rest))
+            else:
+                ab.append(("f", pow(w_l, s, p), rest // s, w_l, s))
+        else:
+            ab.append(None)
+        n_l = rest
+    return w8_roots, ab
+
+
+class MxuPlan:
+    """Device tables for one (field, n, root, scale): per-level W-digit
+    matrices (int8; level 1 carries the scale), factored twiddle pairs and
+    the residual half-table (Montgomery)."""
+
+    def __init__(self, field: PrimeField, n: int, root: int, scale: int = 1):
+        from . import mxu
+        w8_roots, ab = mxu_table_specs(field, n, root, scale)
+        levels = mxu_levels(n)
+        params = field.params
+        w8s = []
+        for lvl, (m, w8_root) in enumerate(zip(levels, w8_roots)):
+            sc = scale if lvl == 0 else 1
+            w8s.append(jnp.asarray(mxu.w_digits(field, m, w8_root, sc)))
+        self.w8s = tuple(w8s)
+        self.ab = []
+        for m, spec in zip(levels, ab):
+            if spec is None:
+                self.ab.append(None)
+            elif spec[0] == "d":
+                _, w_l, rest = spec
+                self.ab.append({"p": jnp.asarray(
+                    _direct_panel_np(params, w_l, m, rest))})
+            else:
+                _, a_seed, ca, b_seed, sb = spec
+                # A stored [cols(h), L, m]: the kernel selects h via a
+                # block-1 leading dim (lane-width-1 blocks are illegal)
+                self.ab.append({
+                    "a": jnp.asarray(np.transpose(
+                        _panel_grid_np(params, a_seed, m, ca), (2, 0, 1))),
+                    "b": jnp.asarray(_panel_grid_np(params, b_seed, m, sb))})
+
+    def bundle(self):
+        return {"w8s": self.w8s, "ab": tuple(self.ab)}
+
+
+def _panel_grid_np(params, seed: int, rows: int, cols: int) -> np.ndarray:
+    """[L, rows, cols] Montgomery grid g[k, t] = seed^(k*t), host-built."""
+    from ..field.limbs import power_series_mont_np
+    p = params.modulus
+    out = np.zeros((params.L, rows, cols), dtype=np.uint32)
+    cur = 1
+    for k in range(rows):                  # row k = power series of seed^k
+        out[:, k, :] = power_series_mont_np(params, cur, cols)
+        cur = (cur * seed) % p
+    return out
+
+
+def _direct_panel_np(params, seed: int, rows: int, rest: int,
+                     Tc: int = 128) -> np.ndarray:
+    """[L, rows, Tc] direct twiddle panel g[k, t] = seed^(k * (t % rest)) —
+    the period-`rest` pattern pre-tiled to one column tile (rest | Tc)."""
+    small = _panel_grid_np(params, seed, rows, rest)
+    return np.tile(small, (1, 1, Tc // rest))
+
+
+@lru_cache(maxsize=None)
+def get_mxu_plan(field: PrimeField, n: int, root: int,
+                 scale: int = 1) -> MxuPlan:
+    return MxuPlan(field, n, root, scale)
+
+
+def mxu_transform_core(field: PrimeField, a: jnp.ndarray, n: int,
+                       tabs) -> jnp.ndarray:
+    """Multi-level MXU NTT: natural order in and out, bit-identical to
+    ntt_core_table times the plan's folded scale (values canonical < p).
+    a: [..., L, n]; tabs: MxuPlan.bundle() (traced arrays).
+
+    Generalizes the 4-step/Bailey decomposition to levels of size <= 128 —
+    each level: digit-encode (elementwise), ONE int8 transpose into kernel
+    layout, and the Pallas digit-matmul DFT with the level's twiddle fused
+    into its epilogue.  Intermediate data never round-trips through u32
+    transposes: the only u32 reorder is the single final transpose to
+    natural order."""
+    levels = mxu_levels(n)
+    q = len(levels)
+    L = a.shape[-2]
+    batch_shape = a.shape[:-2]
+    x = a.reshape((-1, L, n)) if batch_shape else a[None]
+    Bc = x.shape[0]
+    from . import mxu
+
+    cur = jnp.moveaxis(x, 1, 0)                        # [L, Bc, n]
+    pre = Bc
+    rest = n
+    for lvl, m in enumerate(levels):
+        rest //= m
+        curv = cur.reshape(L, pre, m, rest)
+        d = mxu.encode_digits(curv)                    # [D, pre, m, rest]
+        d = jnp.transpose(d, (0, 2, 1, 3)).reshape(mxu.D128, m, pre * rest)
+        tw = tabs["ab"][lvl] if rest > 1 else None
+        o = mxu.run_dft_level(field, tabs["w8s"][lvl], d, m, rest, tw)
+        cur = o.reshape(L, m * pre, rest)              # pre' = (k_lvl, pre)
+        pre *= m
+    # cur: [L, k_q, ..., k_1, Bc] -> [Bc, L, (k_q, ..., k_1)]
+    cur = cur.reshape((L,) + tuple(reversed(levels)) + (Bc,))
+    perm = (q + 1, 0) + tuple(range(1, q + 1))
+    out = jnp.transpose(cur, perm).reshape(Bc, L, n)
+    return out.reshape(batch_shape + (L, n)) if batch_shape else out[0]
 
 
 def _bitrev_indices(n: int) -> jnp.ndarray:

@@ -1,33 +1,49 @@
-"""MXU (int8-matmul) modular DFT prototype — the planned round-4 NTT core.
+"""MXU (int8-matmul) modular DFT — the production NTT core for the 128-bit
+field on TPU.
 
-The butterfly kernels are VPU-compute-bound at ~888M Montgomery muls/s
-(ROOFLINE_r03.json); the MXU executes s8 x s8 -> s32 matmuls orders of
-magnitude faster.  In the 4-step decomposition every local transform IS a
-matmul against the DFT matrix, so the whole transform can ride the MXU:
+The VPU butterfly kernels are compute-bound at ~888M Montgomery muls/s
+(ROOFLINE_r03.json); the MXU executes s8 x s8 -> s32 matmuls two orders of
+magnitude faster.  In a multi-level (Bailey/4-step generalized) NTT every
+local transform IS a matmul against the DFT matrix
 
     X[r] = sum_c W[r, c] * x[c]  (mod p),  W[r, c] = w^(r*c)
 
-Scheme (the "tensor-core NTT" family, adapted to TPU int8 matmuls):
-- decompose W and x into D base-2^7 digits (int8; D = 19 for 128-bit
-  elements),
-- one dot_general per x-digit: [D*n, n] s8 @ [n, B] s8 -> s32, with the
-  W-digit axis stacked into the output rows (D dots total instead of D^2),
-- bucket the digit-diagonal sums S_k = sum_{i+j=k} Wd_i @ Xd_j
-  (max term: D * 127^2 * n < 2^31 for n <= 4096 — no s32 overflow),
-- recombine the S_k into 16-bit lazy limbs (shifts + adds), carry-propagate,
-- reduce the ~280-bit integer mod p by solinas folding for the reference's
-  primary field p128 = 2^128 - 9*2^32 + 1:  hi*2^128 == hi*(9*2^32 - 1).
+so the transform's hot loop rides the MXU ("tensor-core NTT" family, adapted
+to TPU int8 matmuls; replaces galois's WASM `evalPolysAtRoots` /
+`interpolateRoots` consumed at /root/reference/lib/Stark.ts:106-109):
 
-This module is a standalone correctness + throughput prototype (pinned
-against the production transform by tests/test_mxu_ntt.py); wiring it into
-the 4-step prover locals is round-4 work.  Values are STANDARD form (not
-Montgomery) — the matmul path needs no Montgomery representation at all.
+- W and x are decomposed into D = 17 signed base-256 digits (int8; balanced
+  recode, digits in [-128, 127], top digit in {0, 1}),
+- the D x D digit products are s8 matmuls accumulated in s32: max
+  |S_k| <= 17 * m * 128^2 < 2^30 for local size m <= 2048 -> no overflow,
+- the 33 digit-diagonal sums S_k recombine as sum_k S_k * 2^(8k) into lazy
+  16-bit limbs (bias 2^30 makes them nonnegative; a precomputed correction
+  constant cancels the bias mod p),
+- the ~290-bit integer reduces mod p128 = 2^128 - 9*2^32 + 1 by solinas
+  folding: hi * 2^128 == hi * (9*2^32 - 1).
+
+Values are representation-agnostic: the DFT is linear, so Montgomery-form
+inputs produce Montgomery-form outputs bit-identical to the VPU butterfly
+path (both canonical < p) — the MXU path is plug-compatible anywhere in the
+prover pipeline.
+
+Two implementations of the same math:
+- `mxu_dft_ref`: plain-XLA (runs everywhere; the CPU correctness oracle),
+- `mxu_dft_pallas`: one Pallas kernel per (m, tile) whose s32 digit
+  accumulators live entirely in VMEM and whose epilogue (recombination +
+  solinas reduction) is fused — the s32 intermediates NEVER touch HBM,
+  which is what limits the XLA formulation (measured ~47T MAC/s XLA vs
+  >170T for VMEM-resident dots on v5e).
+
+The W-digit matrices are HOST-built (numpy) and passed as program
+PARAMETERS — an in-program gather build costs ~5-120 ms per local
+(measured), and baked constants blow up executables (DESIGN_NOTES item 6).
 """
 
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,72 +52,70 @@ import numpy as np
 from ..field import PrimeField
 from ..field.limbs import LIMB_BITS, LIMB_MASK
 
-DIGIT_BITS = 7
-_DMASK = np.int32((1 << DIGIT_BITS) - 1)
+DIGIT_BITS = 8
+D128 = 17                    # signed base-256 digits for 128-bit elements
+N_DIAGS = 2 * D128 - 1       # 33 digit-diagonal sums
 _M16 = np.uint32(LIMB_MASK)
+_BIAS = np.int32(1 << 30)    # |S_k| <= 17 * m * 2^14 < 2^30 for m <= 2048
+MAX_M = 2048                 # s32-accumulator + bias bound (see module doc)
+_N_LAZY = 20                 # 16-bit lazy limbs covering 8*32 + 32 bits
 
 
-def _n_digits(bits: int) -> int:
-    return -(-bits // DIGIT_BITS)
-
-
-def digits_from_limbs(limbs: jnp.ndarray, n_digits: int) -> jnp.ndarray:
-    """uint32[L, ...] 16-bit limbs -> int8[D, ...] base-2^7 digits."""
-    w = limbs[0::2] | (limbs[1::2] << np.uint32(16))      # [L/2, ...] u32
-    W = w.shape[0]
-    out = []
-    for k in range(n_digits):
-        bit = k * DIGIT_BITS
-        a, off = bit // 32, bit % 32
-        lo = w[a] >> np.uint32(off) if a < W else jnp.zeros_like(w[0])
-        if off > 32 - DIGIT_BITS and a + 1 < W:
-            lo = lo | (w[a + 1] << np.uint32(32 - off))
-        out.append((lo.astype(jnp.int32) & _DMASK).astype(jnp.int8))
-    return jnp.stack(out)
-
-
+# --------------------------------------------------------------------- digits
 @lru_cache(maxsize=None)
-def _hankel_matrix_digits(field: PrimeField, n: int) -> jnp.ndarray:
-    """int8[(2D-1)*n, D*n] block-Hankel arrangement H[(k,r), (j,c)] =
-    Wd_{k-j}[r, c] (zero blocks outside 0 <= k-j < D): ONE s8 matmul
-    H @ X8_flat yields every digit-diagonal sum S_k at once — the per-digit
-    dot formulation writes (2D-1) s32 intermediates per digit pair to HBM
-    and reads them back for bucketing, which dominates the runtime (~10 of
-    14 ms at n=512); the Hankel dot doubles the MAC count (zero blocks) but
-    makes the accumulation free inside the MXU.  Size grows as D^2*n^2 — at
-    n > ~1024 use digit-blocked tiles instead (round-4)."""
-    W8 = np.asarray(_dft_matrix_digits(field, n))
-    D = W8.shape[0]
-    H = np.zeros(((2 * D - 1) * n, D * n), dtype=np.int8)
-    for k in range(2 * D - 1):
-        for j in range(max(0, k - D + 1), min(D, k + 1)):
-            H[k * n:(k + 1) * n, j * n:(j + 1) * n] = W8[k - j]
-    return jnp.asarray(H)
+def _w_digits_np(modulus: int, m: int, root: int, scale: int) -> np.ndarray:
+    """int8[D, m, m]: balanced base-256 digit planes of the (scaled) DFT
+    matrix W[r, c] = scale * root^(r*c) mod p (canonical representatives).
+    `scale` folds a uniform constant (e.g. the iNTT's n^-1) into the matrix
+    for free.  Host-built: m pow-mods for the power table, then vectorized
+    byte recode."""
+    tab = np.zeros((m, 16), dtype=np.uint8)
+    cur = scale % modulus
+    for j in range(m):
+        tab[j] = np.frombuffer(cur.to_bytes(16, "little"), dtype=np.uint8)
+        cur = (cur * root) % modulus
+    r = np.arange(m, dtype=np.int64)
+    E = (r[:, None] * r[None, :]) % m                   # exponent mod m
+    bytes_ = tab[E]                                     # [m, m, 16] u8
+    digs = np.zeros((D128, m, m), dtype=np.int8)
+    carry = np.zeros((m, m), dtype=np.int16)
+    for i in range(16):
+        t = bytes_[:, :, i].astype(np.int16) + carry
+        ge = t >= 128
+        digs[i] = (t - ge * 256).astype(np.int8)
+        carry = ge.astype(np.int16)
+    digs[16] = carry.astype(np.int8)
+    return digs
 
 
-@lru_cache(maxsize=None)
-def _dft_matrix_digits(field: PrimeField, n: int) -> jnp.ndarray:
-    """int8[D, n, n]: digit-decomposed DFT matrix W[r, c] = w^(r*c) for the
-    canonical size-n root (host-built once per (field, n))."""
-    f = field.host
-    w = f.get_root_of_unity(n)
-    p = field.modulus
-    D = _n_digits(field.element_size * 8)
-    mat = np.zeros((D, n, n), dtype=np.int8)
-    for r in range(n):
-        wr = pow(w, r, p)
-        cur = 1
-        for c in range(n):
-            v = cur
-            for k in range(D):
-                mat[k, r, c] = (v >> (k * DIGIT_BITS)) & int(_DMASK)
-            cur = (cur * wr) % p
-    return jnp.asarray(mat)
+def w_digits(field: PrimeField, m: int, root: int, scale: int = 1) -> np.ndarray:
+    assert field.element_size == 16, "MXU DFT supports the 128-bit field"
+    assert m <= MAX_M, f"m={m} exceeds the s32 accumulator bound ({MAX_M})"
+    return _w_digits_np(field.modulus, m, root % field.modulus,
+                        scale % field.modulus)
 
 
+def encode_digits(x: jnp.ndarray) -> jnp.ndarray:
+    """u32[L=8, ...] 16-bit limbs -> int8[17, ...] balanced base-256 digits
+    (x = sum d_i 256^i with the top digit in {0, 1})."""
+    digs = []
+    c = jnp.zeros(x.shape[1:], dtype=jnp.int32)
+    for t in range(8):
+        limb = x[t].astype(jnp.int32)
+        for half in range(2):
+            b = (limb >> (8 * half)) & 0xFF
+            s = b + c
+            ge = s >= 128
+            digs.append(jnp.where(ge, s - 256, s).astype(jnp.int8))
+            c = ge.astype(jnp.int32)
+    digs.append(c.astype(jnp.int8))
+    return jnp.stack(digs)
+
+
+# ------------------------------------------------------------------- epilogue
 def _propagate(limbs: List[jnp.ndarray], extra: int = 2) -> List[jnp.ndarray]:
     """Lazy u32 limbs (< 2^28 each) -> strict 16-bit limbs; appends `extra`
-    limbs to capture the final carry (carry < 2^12 for 2^28 inputs)."""
+    limbs to capture the final carry."""
     out = []
     c = jnp.zeros_like(limbs[0])
     for x in limbs:
@@ -140,16 +154,15 @@ def _fold_p128_once(strict: List[jnp.ndarray]) -> List[jnp.ndarray]:
     return _propagate(diff, extra=1)
 
 
-def _trim(strict: List[jnp.ndarray], field: PrimeField) -> jnp.ndarray:
-    """Strict limbs, value < 2p (p = p128) in the low 8 limbs -> canonical
-    [8, ...] via two conditional subtracts."""
+def _trim(strict: List[jnp.ndarray], p_limbs: np.ndarray) -> jnp.ndarray:
+    """Strict limbs, value < 2p in the low 8 limbs -> canonical [8, ...] via
+    two conditional subtracts."""
     out = jnp.stack(strict[:8])
-    dev = field.device
     for _ in range(2):
         diff = []
         borrow = jnp.zeros_like(out[0])
         for j in range(8):
-            s = out[j] - np.uint32(dev._p_np[j]) - borrow
+            s = out[j] - np.uint32(p_limbs[j]) - borrow
             diff.append(s & _M16)
             borrow = (s >> np.uint32(31)) & np.uint32(1)
         take = (np.uint32(1) - borrow).astype(jnp.bool_)
@@ -157,70 +170,256 @@ def _trim(strict: List[jnp.ndarray], field: PrimeField) -> jnp.ndarray:
     return out
 
 
-def reduce_p128(field: PrimeField, lazy: List[jnp.ndarray]) -> jnp.ndarray:
-    """Lazy 16-bit-limb integer (limbs < 2^28, value < 2^285) -> [8, ...]
-    canonical mod p128.
-
-    Bound chain for the fixed fold count: value_0 < 2^285; one fold maps a
-    (128+k)-bit value to < 2^128 + 2^(k+35.2), so magnitudes go
-    2^285 -> 2^192.2 -> 2^99.4+2^128 -> hi <= 1 -> < 2^128 + 2^36 ->
-    < 2^128 (or < 2^37), i.e. FIVE folds always land strictly below 2^129
-    with the low 8 limbs < 2p — two conditional subtracts finish."""
-    strict = _propagate(lazy, extra=2)
-    for _ in range(5):
-        strict = _fold_p128_once(strict)
-    return _trim(strict, field)
+@lru_cache(maxsize=None)
+def _bias_correction(modulus: int) -> np.ndarray:
+    """u32[8] 16-bit limbs of (-BIAS * sum_k 2^(8k)) mod p: adding this to
+    the biased diagonal recombination cancels the bias exactly mod p."""
+    total = int(_BIAS) * sum(1 << (8 * k) for k in range(N_DIAGS))
+    corr = (-total) % modulus
+    out = np.zeros(8, dtype=np.uint32)
+    for j in range(8):
+        out[j] = (corr >> (16 * j)) & 0xFFFF
+    return out
 
 
-def mxu_dft(field: PrimeField, x_std: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Size-n DFT over the canonical root via int8 MXU matmuls.
+def diags_to_limbs(acc: List[jnp.ndarray], p_limbs: np.ndarray,
+                   corr: np.ndarray) -> jnp.ndarray:
+    """33 signed s32 digit-diagonal sums S_k [..] -> canonical u32[8, ..]
+    16-bit limbs of (sum_k S_k 2^(8k)) mod p128.
 
-    x_std: uint32[L, n, B] standard-form 16-bit limbs (B batch columns).
-    Returns uint32[L, n, B] standard-form.  p128 only (solinas reduction).
-    """
-    assert field.element_size == 16, "prototype supports the 128-bit field"
-    D = _n_digits(128)
-    L, n_in, B = x_std.shape
-    assert n_in == n
-    X8 = digits_from_limbs(x_std, D)                   # [D, n, B] int8
-    n_k = 2 * D - 1
-
-    if D * n <= (1 << 14):
-        # single block-Hankel dot: every S_k in one matmul, no s32
-        # intermediate round-trips (see _hankel_matrix_digits)
-        H = _hankel_matrix_digits(field, n)
-        prod = jax.lax.dot_general(
-            H, X8.reshape(D * n, B), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)          # [(2D-1)*n, B]
-        prod = prod.reshape(n_k, n, B)
-        acc = [prod[k] for k in range(n_k)]
-    else:
-        # digit-blocked fallback: D dots of [D*n, n] @ [n, B]
-        W8 = _dft_matrix_digits(field, n)              # [D, n, n] int8
-        Wflat = W8.reshape(D * n, n)
-        acc = [None] * n_k
-        for j in range(D):
-            prod = jax.lax.dot_general(
-                Wflat, X8[j], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)      # [D*n, B]
-            prod = prod.reshape(D, n, B)
-            for i in range(D):
-                k = i + j
-                acc[k] = prod[i] if acc[k] is None else acc[k] + prod[i]
-
-    # recombine: value = sum_k S_k * 2^(7k) -> lazy 16-bit limbs
-    total_bits = DIGIT_BITS * (n_k - 1) + 36
-    n_limbs = -(-total_bits // LIMB_BITS) + 1
-    limbs = [jnp.zeros((n, B), dtype=jnp.uint32) for _ in range(n_limbs)]
-    for k in range(n_k):
-        a = acc[k].astype(jnp.uint32)                  # < 2^31
+    Each S_k is biased by 2^30 (making it a u32 < 2^31), placed into lazy
+    16-bit limbs at bit offset 8k, the precomputed correction constant
+    cancels the total bias mod p, and six solinas folds + two conditional
+    subtracts reduce the < 2^288 integer to canonical form.  Pure
+    elementwise jnp — runs identically inside a Pallas kernel (VMEM tiles)
+    and in the XLA reference path."""
+    limbs = [jnp.zeros_like(acc[0], dtype=jnp.uint32) for _ in range(_N_LAZY)]
+    for j in range(8):
+        limbs[j] = limbs[j] + np.uint32(corr[j])
+    for k in range(N_DIAGS):
+        a = (acc[k] + _BIAS).astype(jnp.uint32)        # < 2^31
         lo = a & _M16
         hi = a >> np.uint32(LIMB_BITS)                 # < 2^15
         for part, extra_bits in ((lo, 0), (hi, LIMB_BITS)):
             bit = k * DIGIT_BITS + extra_bits
             pidx, off = bit // LIMB_BITS, bit % LIMB_BITS
-            sh = part << np.uint32(off)                # <= 31 bits
+            sh = part << np.uint32(off)                # <= 24 bits
             limbs[pidx] = limbs[pidx] + (sh & _M16)
             limbs[pidx + 1] = limbs[pidx + 1] + (sh >> np.uint32(LIMB_BITS))
+    strict = _propagate(limbs, extra=2)
+    for _ in range(6):
+        strict = _fold_p128_once(strict)
+    return _trim(strict, p_limbs)
 
-    return reduce_p128(field, limbs)
+
+# ------------------------------------------------------------- XLA reference
+def mxu_dft_ref(field: PrimeField, y: jnp.ndarray, m: int,
+                w8: jnp.ndarray) -> jnp.ndarray:
+    """Plain-XLA digit-matmul DFT.  y: [..., L, m] 16-bit limbs (any batch
+    shape, any representation); w8: int8[D, m, m].  Returns [..., L, m]."""
+    batch_shape = y.shape[:-2]
+    L = y.shape[-2]
+    x = y.reshape((-1, L, m)) if batch_shape else y[None]
+    B = x.shape[0]
+    x8 = encode_digits(jnp.moveaxis(x, 1, 0))          # [D, B, m]
+    x8 = jnp.moveaxis(x8, -1, 1).reshape(D128, m, B)   # [D, m, B]
+    acc = [None] * N_DIAGS
+    for i in range(D128):
+        for j in range(D128):
+            prod = jax.lax.dot_general(
+                w8[i], x8[j], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)      # [m, B]
+            k = i + j
+            acc[k] = prod if acc[k] is None else acc[k] + prod
+    out = diags_to_limbs(acc, field.device._p_np,
+                         _bias_correction(field.modulus))   # [8, m, B]
+    out = jnp.transpose(out, (2, 0, 1))                     # [B, 8, m]
+    return out.reshape(batch_shape + (L, m)) if batch_shape else out[0]
+
+
+# --------------------------------------------------------------- Pallas path
+def _mont_mul_tiles(a: List[jnp.ndarray], b: List[jnp.ndarray],
+                    p_limbs: np.ndarray, n0p: np.uint32) -> List[jnp.ndarray]:
+    from .pallas_kernels import _mont_mul_limbs
+    return _mont_mul_limbs(a, b, p_limbs, n0p)
+
+
+def twiddle_split(rest: int, Tc: int = 128) -> int:
+    """The factored-twiddle inner size s for a level with `rest` remaining
+    columns: s >= Tc keeps every in-kernel twiddle op a plain 2-D broadcast
+    (Mosaic rejects sub-lane reshapes); rest <= Tc uses a direct panel
+    (s = 0 sentinel)."""
+    if rest <= Tc:
+        return 0
+    b = rest.bit_length() - 1
+    return max(1 << (-(-b // 2)), Tc)
+
+
+def _make_dft_kernel(m: int, B: int, rest: int, s: int, p_limbs_bytes: bytes,
+                     corr_bytes: bytes, n0p_int: int, Tr: int, Tc: int,
+                     interpret: bool):
+    """DFT kernel with (optionally) the level's twiddle multiply fused into
+    the epilogue: out[k, col] = DFT_m(x)[k, col] * w_l^(k * (col % rest)).
+
+    rest > Tc: twiddle factored as A[k, i2 // s] * B[k, i2 % s] with
+    s >= Tc, so within one column tile A is a single broadcast column and B
+    a contiguous [Tr, Tc] block — O(sqrt(rest)) table entries instead of an
+    O(n) panel.  rest in (1, Tc]: one direct pre-tiled panel block.  All
+    twiddle math is VMEM-tile mont_muls riding the kernel's residency
+    (measured: the unfused XLA twiddle pass costs ~25 ms per 2^21 level)."""
+    from jax.experimental import pallas as pl
+
+    p_limbs = np.frombuffer(p_limbs_bytes, dtype=np.uint32)
+    corr = np.frombuffer(corr_bytes, dtype=np.uint32)
+    n0p = np.uint32(n0p_int)
+    D = D128
+    L = 8
+    mode = "none" if rest <= 1 else ("direct" if s == 0 else "fact")
+
+    def dft_tile(w_ref, x_ref):
+        acc = [None] * N_DIAGS
+        for i in range(D):
+            w_i = w_ref[i]                             # [Tr, m]
+            for j in range(D):
+                prod = jax.lax.dot_general(
+                    w_i, x_ref[j], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)  # [Tr, Tc]
+                k = i + j
+                acc[k] = prod if acc[k] is None else acc[k] + prod
+        return diags_to_limbs(acc, p_limbs, corr)      # [8, Tr, Tc]
+
+    if mode == "none":
+        def kernel(w_ref, x_ref, out_ref):
+            out_ref[...] = dft_tile(w_ref, x_ref)
+    elif mode == "direct":
+        def kernel(w_ref, x_ref, p_ref, out_ref):
+            out = dft_tile(w_ref, x_ref)
+            ov = [out[i] for i in range(L)]
+            pv = [p_ref[i] for i in range(L)]
+            res = _mont_mul_tiles(ov, pv, p_limbs, n0p)
+            out_ref[...] = jnp.stack(res)
+    else:
+        def kernel(w_ref, x_ref, a_ref, b_ref, out_ref):
+            out = dft_tile(w_ref, x_ref)
+            ov = [out[i] for i in range(L)]
+            # a_ref: [1, L, Tr] (h selected by the index map) -> [Tr, 1]
+            av = [a_ref[0, i][:, None] for i in range(L)]
+            bv = [b_ref[i] for i in range(L)]          # [Tr, Tc]
+            panel = _mont_mul_tiles(av, bv, p_limbs, n0p)
+            res = _mont_mul_tiles(ov, panel, p_limbs, n0p)
+            out_ref[...] = jnp.stack(res)
+
+    grid = (m // Tr, B // Tc)
+    in_specs = [pl.BlockSpec((D, Tr, m), lambda r, c: (0, r, 0)),
+                pl.BlockSpec((D, m, Tc), lambda r, c: (0, 0, c))]
+    if mode == "direct":
+        # panel [L, m, Tc]: the period-`rest` pattern pre-tiled to Tc, the
+        # same for every Tc-aligned column tile (rest | Tc)
+        in_specs.append(pl.BlockSpec((L, Tr, Tc), lambda r, c: (0, r, 0)))
+    elif mode == "fact":
+        X = np.int32(rest // Tc)
+        sT = np.int32(s // Tc)
+        # lax.rem/div: plain C-style ops — jnp's % and // lower to sign-fix
+        # jaxprs that Pallas index maps reject.  A is stored [rest//s, L, m]
+        # (h leading) because a (.., 1)-lane block is illegal: the h select
+        # rides a block-1 leading dim instead.
+        in_specs.append(pl.BlockSpec(
+            (1, L, Tr),
+            lambda r, c: (jax.lax.div(jax.lax.rem(c, X), sT), 0, r)))
+        in_specs.append(pl.BlockSpec(
+            (L, Tr, Tc), lambda r, c: (0, r, jax.lax.rem(c, sT))))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, m, B), jnp.uint32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((8, Tr, Tc), lambda r, c: (0, r, c)),
+        interpret=interpret,
+    )
+
+
+@lru_cache(maxsize=None)
+def _dft_kernel_fn(m, B, rest, s, p_limbs_bytes, corr_bytes, n0p, Tr, Tc,
+                   interpret):
+    return jax.jit(_make_dft_kernel(m, B, rest, s, p_limbs_bytes, corr_bytes,
+                                    n0p, Tr, Tc, interpret))
+
+
+def mxu_dft(field: PrimeField, y: jnp.ndarray, m: int, w8: jnp.ndarray,
+            interpret: bool = False) -> jnp.ndarray:
+    """Single-level digit-matmul DFT on [..., L, m] data (no twiddle).
+    Pallas on TPU (or interpret=True), XLA reference elsewhere."""
+    assert m <= MAX_M and (m & (m - 1)) == 0
+    if not (interpret or jax.default_backend() == "tpu"):
+        return mxu_dft_ref(field, y, m, w8)
+    batch_shape = y.shape[:-2]
+    L = y.shape[-2]
+    x = y.reshape((-1, L, m)) if batch_shape else y[None]
+    B = x.shape[0]
+    x8 = encode_digits(jnp.moveaxis(x, 1, 0))          # [D, B, m]
+    x8 = jnp.moveaxis(x8, -1, 1)                       # [D, m, B]
+    out = run_dft_level(field, w8, x8, m, 1, None, interpret)
+    out = jnp.transpose(out, (2, 0, 1))                # [B, 8, m]
+    return out.reshape(batch_shape + (L, m)) if batch_shape else out[0]
+
+
+def _run_dft_level_ref(field: PrimeField, w8: jnp.ndarray, x8: jnp.ndarray,
+                       m: int, rest: int, tw) -> jnp.ndarray:
+    """Plain-XLA level (CPU correctness path): same math as the Pallas
+    kernel — digit dots, shared epilogue, direct or factored twiddle."""
+    dev = field.device
+    cols = x8.shape[2]
+    acc = [None] * N_DIAGS
+    for i in range(D128):
+        for j in range(D128):
+            prod = jax.lax.dot_general(
+                w8[i], x8[j], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)      # [m, cols]
+            k = i + j
+            acc[k] = prod if acc[k] is None else acc[k] + prod
+    out = diags_to_limbs(acc, dev._p_np, _bias_correction(field.modulus))
+    if rest > 1:
+        if "p" in tw:                                  # direct panel [L,m,Tc]
+            P = tw["p"]
+            ov = out.reshape(8, m, cols // rest, rest)
+            ov = dev.mont_mul(ov, P[:, :, None, :rest])
+        else:
+            A = jnp.transpose(tw["a"], (1, 2, 0))      # [h, L, m] -> [L, m, h]
+            Bt = tw["b"]
+            s = Bt.shape[-1]
+            ov = out.reshape(8, m, cols // rest, rest // s, s)
+            ov = dev.mont_mul(ov, A[:, :, None, :, None])
+            ov = dev.mont_mul(ov, Bt[:, :, None, None, :])
+        out = ov.reshape(8, m, cols)
+    return out
+
+
+def run_dft_level(field: PrimeField, w8: jnp.ndarray, x8: jnp.ndarray,
+                  m: int, rest: int, tw, interpret: bool = False
+                  ) -> jnp.ndarray:
+    """Dispatch one (DFT + fused twiddle) level: x8 int8[D, m, cols] ->
+    u32[8, m, cols] = DFT_m over the m axis, times w_l^(k * (col % rest)).
+    tw: None (rest == 1), {"p": panel [L, m, 128]} (rest <= 128) or
+    {"a": A [rest//s, L, m], "b": B [L, m, s]} (factored, s >= 128).
+    m: any power of two <= 2048 (below 128 the blocks span the whole m axis,
+    which Mosaic accepts; the dots just run a short contraction)."""
+    assert m <= MAX_M and (m & (m - 1)) == 0
+    if not interpret and jax.default_backend() != "tpu":
+        return _run_dft_level_ref(field, w8, x8, m, rest, tw)
+    Tr, Tc = min(m, 128), 128
+    cols = x8.shape[2]
+    cols_p = -(-cols // Tc) * Tc
+    if cols_p != cols:
+        x8 = jnp.pad(x8, [(0, 0), (0, 0), (0, cols_p - cols)])
+    if rest <= 1:
+        s, args = 1, ()
+    elif "p" in tw:
+        s, args = 0, (tw["p"],)
+    else:
+        s, args = tw["b"].shape[-1], (tw["a"], tw["b"])
+    fn = _dft_kernel_fn(m, cols_p, rest if rest > 1 else 1, s,
+                        field.device._p_np.tobytes(),
+                        _bias_correction(field.modulus).tobytes(),
+                        int(field.device._n0p), Tr, Tc, interpret)
+    out = fn(w8, x8, *args)
+    return out[:, :, :cols] if cols_p != cols else out

@@ -104,9 +104,11 @@ class BoundaryConstraints:
                 from .composition import _transform
                 padded = jnp.pad(n_coeffs,
                                  [(0, 0), (0, domain_size - n_coeffs.shape[-1])])
+                ne_mxu = tables.get("ne_fwd_mxu")
                 out.append(_transform(field, padded, domain_size,
+                                      None if ne_mxu is not None else
                                       tables["ne_fwd_w"],
-                                      tables.get("ne_fwd_panel")))
+                                      tables.get("ne_fwd_panel"), ne_mxu))
             else:
                 out.append(ntt.low_degree_extend(field, n_coeffs, domain_size))
         return out

@@ -34,9 +34,12 @@ def group_transition_constraints(constraint_degrees: List[int], trace_length: in
     return [{"degree": degree, "indexes": idxs} for degree, idxs in groups.items()]
 
 
-def _transform(field, x, n, w_table, panel=None):
-    """Tables-path transform: takes the precomputed 4-step twiddle panel
-    when the enclosing prover shipped one as a program parameter."""
+def _transform(field, x, n, w_table, panel=None, mxu=None):
+    """Tables-path transform: prefers the MXU multi-level bundle, then the
+    precomputed 4-step twiddle panel, when the enclosing prover shipped one
+    as a program parameter."""
+    if mxu is not None:
+        return ntt.mxu_transform_core(field, x, n, mxu)
     if panel is not None:
         return ntt._four_step_core(field, x, n, w_table, panel=panel)
     return ntt.ntt_core_table(field, x, n, w_table)
@@ -132,11 +135,20 @@ class CompositionPolynomial:
         self.log("Computed linear combination of Q(x) polynomials")
 
         if tables is not None:
-            qc_poly = _transform(field, qc, Nc, tables["nc_inv_w"],
-                                 tables.get("nc_inv_panel"))
-            qc_poly = dev.mont_mul(qc_poly, dev.const(f.inv(Nc), shape=(1,)))
+            nc_mxu = tables.get("nc_inv_mxu")
+            qc_poly = _transform(field, qc, Nc,
+                                 None if nc_mxu is not None else
+                                 tables["nc_inv_w"],
+                                 tables.get("nc_inv_panel"), nc_mxu)
+            if nc_mxu is None:     # MXU bundle folds Nc^-1 into its digits
+                qc_poly = dev.mont_mul(qc_poly,
+                                       dev.const(f.inv(Nc), shape=(1,)))
+            ne_mxu = tables.get("ne_fwd_mxu")
             qe = _transform(field, jnp.pad(qc_poly, [(0, 0), (0, Ne - Nc)]),
-                            Ne, tables["ne_fwd_w"], tables.get("ne_fwd_panel"))
+                            Ne,
+                            None if ne_mxu is not None else
+                            tables["ne_fwd_w"],
+                            tables.get("ne_fwd_panel"), ne_mxu)
         else:
             qc_poly = ntt.intt(field, qc)
             qe = ntt.low_degree_extend(field, qc_poly, Ne)           # [L, Ne]

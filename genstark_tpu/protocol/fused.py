@@ -145,6 +145,7 @@ class FusedProver:
         self.secret_idx = list(context.schema.secret_input_registers)
         self._table_specs = self._build_table_specs()
         self._pack_cache = None       # device table pack, built on first prove
+        self._mxund_cache = None      # MXU multi-level NTT bundles per key
         # Large domains run as THREE stage programs (commit / composition /
         # FRI) instead of one: the single fused program's XLA temp footprint
         # at Ne = 2^24 is ~37 GB (HBM is 16), while stage boundaries let the
@@ -245,7 +246,9 @@ class FusedProver:
                                 ("w_Ne", specs[1][1], Ne),
                                 ("w_Nc", specs[2][1], Nc),
                                 ("w_Nc_inv", specs[3][1], Nc)):
-            if (jax.default_backend() == "tpu" and size <= (1 << 18)
+            if _ntt.mxu_applicable(self.field, size):
+                continue              # MXU bundles replace the 4-step panel
+            if (_ntt._use_pallas() and size <= (1 << 18)
                     and _ntt._four_step_local(size)):
                 specs.append((f"p4_{key}", seed, size, "panel"))
         # per-depth FRI fold tables (w^(4^d))^i and inverse, i < N_d/4 — the
@@ -312,6 +315,37 @@ class FusedProver:
             self._pack_cache = self._put(np.concatenate(parts, axis=1))
         return self._pack_cache
 
+    def _get_mxund(self):
+        """MXU multi-level NTT table bundles per transform key (device
+        arrays, passed to the stage programs as PARAMETERS like the table
+        pack).  Inverse keys fold their n^-1 scale into the level-1 digit
+        matrix, so the consuming stage skips its scaling pass.  Empty dict
+        wherever the MXU path is off (CPU tests, small fields)."""
+        if self._mxund_cache is None:
+            from .. import ntt as _ntt
+            field = self.field
+            f = field.host
+            context = self.context
+            p = field.modulus
+            T = context.trace_length
+            Ne, Nc = self.Ne, context.composition_domain_size
+            specs = {
+                "w_T_inv": (T, f.inv(f.get_root_of_unity(T)),
+                            f.inv(T % p)),
+                "w_Ne": (Ne, f.get_root_of_unity(Ne), 1),
+                "w_Nc": (Nc, f.get_root_of_unity(Nc), 1),
+                "w_Nc_inv": (Nc, f.inv(f.get_root_of_unity(Nc)),
+                             f.inv(Nc % p)),
+            }
+            out = {}
+            for key, (size, root, scale) in specs.items():
+                if _ntt.mxu_applicable(field, size):
+                    bundle = _ntt.get_mxu_plan(field, size, root,
+                                               scale).bundle()
+                    out[key] = jax.tree.map(self._put, bundle)
+            self._mxund_cache = out
+        return self._mxund_cache
+
     def _put(self, arr) -> jnp.ndarray:
         """Host array -> device; replicated over the mesh when one is set
         (host-origin inputs are tiny or reused across the whole domain)."""
@@ -329,7 +363,7 @@ class FusedProver:
         return _LazyTables(self, tpack)
 
     # ------------------------------------------------------------------ trace
-    def _helpers(self, tpack):
+    def _helpers(self, tpack, mxund=None):
         """Shared traced helpers (tables, mesh sharding, layout pinning,
         transforms) used by the stage methods."""
         context = self.context
@@ -338,6 +372,7 @@ class FusedProver:
         f = field.host
         T = context.trace_length
         tb = self._slice_tables(tpack)
+        mx = mxund or {}
 
         mesh = self.mesh
         if mesh is not None:
@@ -365,9 +400,12 @@ class FusedProver:
             return with_layout_constraint(x, Layout(major_to_minor=(0, 1)))
 
         def transform(x, n, w_key):
-            w_table = tb[w_key]
             if mesh is not None and can_distribute(n, n_dev):
-                return shard_dom(dist_ntt_core(field, x, n, w_table, mesh))
+                return shard_dom(dist_ntt_core(field, x, n, tb[w_key], mesh))
+            bundle = mx.get(w_key)
+            if bundle is not None:
+                return ntt.mxu_transform_core(field, x, n, bundle)
+            w_table = tb[w_key]
             panel = tb.get("p4_" + w_key)
             if panel is not None:
                 return ntt._four_step_core(field, x, n, w_table, panel=panel)
@@ -375,6 +413,8 @@ class FusedProver:
 
         def intt_t(x):
             out = transform(x, T, "w_T_inv")
+            if "w_T_inv" in mx:
+                return out            # n^-1 folded into the MXU digit matrix
             n_inv = dev.const(f.inv(T % field.modulus), shape=(1,))
             moved = jnp.moveaxis(out, -2, 0) if out.ndim > 2 else out
             scaled = dev.mont_mul(moved, n_inv)
@@ -411,7 +451,8 @@ class FusedProver:
 
         return tb, shard_dom, pin_rows_minor, intt_t, lde, cmap1
 
-    def _stage_commit(self, trace_std, statics_std, tpack, keep_mont=False):
+    def _stage_commit(self, trace_std, statics_std, tpack, mxund,
+                      keep_mont=False):
         """Reference steps 3-4 (/root/reference/lib/Stark.ts:104-119):
         trace interpolation, LDE, static-register evaluations, evaluation
         Merkle tree.  Returns (p_polys, static_polys, e_std, e_flat, e_root)
@@ -431,7 +472,7 @@ class FusedProver:
         T = context.trace_length
         elem = field.element_size
         tb, shard_dom, pin_rows_minor, intt_t, lde, cmap1 = \
-            self._helpers(tpack)
+            self._helpers(tpack, mxund)
 
         # Phase barriers: without them XLA's latency-hiding scheduler
         # interleaves the LDE / from-Montgomery / hash / tree phases, holding
@@ -477,7 +518,7 @@ class FusedProver:
         return p_polys, static_polys, e_std, e_flat, e_root
 
     def _stage_lcomb(self, p_polys, static_polys, e_std, i_polys_std, e_root,
-                     tpack, evals_mont=None):
+                     tpack, mxund, evals_mont=None):
         """Reference steps 5-6 (Stark.ts:121-131): composition polynomial +
         random linear combination, with the transcript coefficients derived
         on device from the e-tree root.  Montgomery-form P/S evaluations are
@@ -492,7 +533,7 @@ class FusedProver:
         T = context.trace_length
         R = context.schema.trace_width
         K = static_polys.shape[0]
-        tb, shard_dom, _, _, lde, cmap1 = self._helpers(tpack)
+        tb, shard_dom, _, _, lde, cmap1 = self._helpers(tpack, mxund)
         static_evals_nc = (lde(static_polys, Nc, "w_Nc") if K else
                            jnp.zeros((0, dev.L, Nc), dtype=jnp.uint32))
 
@@ -528,7 +569,7 @@ class FusedProver:
         if chunk_ok:
             return self._lcomb_chunked(tb, q_evals, i_polys_mont, p_polys,
                                        e_std, d_coeffs, b_coeffs, l_coeffs,
-                                       chunks)
+                                       chunks, mxund)
 
         if evals_mont is not None:       # single-program mode: forms alive
             p_evals = jnp.stack(evals_mont[:R])
@@ -538,12 +579,15 @@ class FusedProver:
                                  for r in range(R)])
             s_evals = [cmap1(dev._to_mont, e_std[R + i])
                        for i in range(e_std.shape[0] - R)]
+        mx = mxund or {}
         c_tables = {
             "domain": tb["dom_fwd"],
-            "nc_inv_w": tb["w_Nc_inv"],
-            "ne_fwd_w": tb["w_Ne"],
+            "nc_inv_w": None if "w_Nc_inv" in mx else tb["w_Nc_inv"],
+            "ne_fwd_w": None if "w_Ne" in mx else tb["w_Ne"],
             "nc_inv_panel": tb.get("p4_w_Nc_inv"),
             "ne_fwd_panel": tb.get("p4_w_Ne"),
+            "nc_inv_mxu": mx.get("w_Nc_inv"),
+            "ne_fwd_mxu": mx.get("w_Ne"),
             "incr": tb.get("incr"),
             "adjust": {gi: tb[f"adj{gi}"]
                        for gi, g in enumerate(self.c_poly.constraint_groups)
@@ -563,7 +607,7 @@ class FusedProver:
         return shard_dom(dev._add(c_evals, dev.combine_many_mont(ps, l_coeffs)))
 
     def _lcomb_chunked(self, tb, q_evals, i_polys_mont, p_polys, e_std,
-                       d_coeffs, b_coeffs, l_coeffs, chunks):
+                       d_coeffs, b_coeffs, l_coeffs, chunks, mxund=None):
         """Composition + linear combination with every pointwise-over-Ne op
         run chunk-at-a-time (lax.map) — same math and transcript as the
         unchunked path (pinned by tests/test_split_stages.py), but peak HBM
@@ -613,10 +657,17 @@ class FusedProver:
             for i in group["indexes"]:
                 qa.append(dev.mont_mul(qa[i], powers))
         qc = dev.combine_many_mont(qa, d_coeffs)                 # [L, Nc]
-        qc_poly = ntt.ntt_core_table(field, qc, Nc, tb["w_Nc_inv"])
-        qc_poly = dev.mont_mul(qc_poly, dev.const(f.inv(Nc), shape=(1,)))
-        qe = ntt.ntt_core_table(field, jnp.pad(qc_poly, [(0, 0), (0, Ne - Nc)]),
-                                Ne, tb["w_Ne"])                  # [L, Ne]
+        mx = mxund or {}
+        if "w_Nc_inv" in mx:          # Nc^-1 folded into the MXU digits
+            qc_poly = ntt.mxu_transform_core(field, qc, Nc, mx["w_Nc_inv"])
+        else:
+            qc_poly = ntt.ntt_core_table(field, qc, Nc, tb["w_Nc_inv"])
+            qc_poly = dev.mont_mul(qc_poly, dev.const(f.inv(Nc), shape=(1,)))
+        qc_pad = jnp.pad(qc_poly, [(0, 0), (0, Ne - Nc)])
+        if "w_Ne" in mx:
+            qe = ntt.mxu_transform_core(field, qc_pad, Ne, mx["w_Ne"])
+        else:
+            qe = ntt.ntt_core_table(field, qc_pad, Ne, tb["w_Ne"])   # [L, Ne]
 
         # --- boundary quotient polynomials + LDE (BoundaryConstraints) -------
         b_vectors = self.c_poly.b_poly.evaluate_all(
@@ -625,7 +676,8 @@ class FusedProver:
                               for j in range(len(c["xs"]))]
                              for b, (r, c) in
                              enumerate(self.c_poly.b_poly.polys.items())],
-                    "ne_fwd_w": tb["w_Ne"]})
+                    "ne_fwd_w": None if "w_Ne" in mx else tb["w_Ne"],
+                    "ne_fwd_mxu": mx.get("w_Ne")})
         B = len(b_vectors)
         b_stack = (jnp.stack(b_vectors) if b_vectors
                    else jnp.zeros((0, L, Ne), dtype=jnp.uint32))
@@ -689,7 +741,7 @@ class FusedProver:
         out = jax.lax.map(body, xs)                              # [chunks, L, M]
         return _sd(jnp.moveaxis(out, 0, -2).reshape(L, Ne))
 
-    def _stage_fri(self, l_evals, tpack):
+    def _stage_fri(self, l_evals, tpack, mxund):
         """Reference step 7 (Stark.ts:133-144 + LowDegreeProver): the full
         fold-by-4 FRI chain with per-layer Merkle commitments.  Every layer
         gets a committed tree — INCLUDING the final remainder layer, whose
@@ -704,7 +756,7 @@ class FusedProver:
         hash_ = self.hash
         Ne = self.Ne
         elem = field.element_size
-        tb, shard_dom, pin_rows_minor, _, _, cmap1 = self._helpers(tpack)
+        tb, shard_dom, pin_rows_minor, _, _, cmap1 = self._helpers(tpack, mxund)
 
         roots = []
         tree_flats = []
@@ -737,7 +789,7 @@ class FusedProver:
         roots_cat = jnp.stack(roots)                            # [layers+1, 8]
         return fri_cat, vals_cat, roots_cat, remainder_std
 
-    def _pipeline(self, trace_std, statics_std, i_polys_std, tpack):
+    def _pipeline(self, trace_std, statics_std, i_polys_std, tpack, mxund):
         """The whole prover (reference steps 3-7, Stark.ts:104-144) as ONE
         traced program — used for small/medium domains where a single
         dispatch wins.  Large domains run the three stage programs instead
@@ -755,12 +807,13 @@ class FusedProver:
           remainder_std [L, remainder]
         """
         p_polys, static_polys, e_std, e_flat, e_root, evals_mont = \
-            self._stage_commit(trace_std, statics_std, tpack, keep_mont=True)
+            self._stage_commit(trace_std, statics_std, tpack, mxund,
+                               keep_mont=True)
         l_evals = self._stage_lcomb(p_polys, static_polys, e_std,
-                                    i_polys_std, e_root, tpack,
+                                    i_polys_std, e_root, tpack, mxund,
                                     evals_mont=evals_mont)
         fri_cat, vals_cat, fri_roots, remainder_std = self._stage_fri(
-            l_evals, tpack)
+            l_evals, tpack, mxund)
         roots_cat = jnp.concatenate([e_root[None], fri_roots], axis=0)
         return e_flat, fri_cat, e_std, vals_cat, roots_cat, remainder_std
 
@@ -790,18 +843,18 @@ class FusedProver:
                 os.environ.get("GENSTARK_STAGE_TIMING") else (lambda x: None)
             p_polys, static_polys, e_std, e_flat, e_root_dev = jit_a(
                 self._put(trace_std), self._put(statics_np),
-                self._get_pack())
+                self._get_pack(), self._get_mxund())
             stage_sync(e_flat)
             marks.append(("stage A (commit)", time.monotonic()))
             l_evals = jit_b(p_polys, static_polys, e_std,
                             self._put(i_polys_np), e_root_dev,
-                            self._get_pack())
+                            self._get_pack(), self._get_mxund())
             stage_sync(l_evals)
             marks.append(("stage B (lcomb)", time.monotonic()))
             # free the full-domain stage inputs before the FRI chain runs
             del p_polys, static_polys
             fri_cat, vals_cat, fri_roots, remainder_dev = jit_c(
-                l_evals, self._get_pack())
+                l_evals, self._get_pack(), self._get_mxund())
             del l_evals
             from ..parallel.distributed import fetch
             roots_np = np.concatenate(
@@ -810,7 +863,8 @@ class FusedProver:
         else:
             e_flat, fri_cat, e_std, vals_cat, roots_cat, remainder_dev = \
                 self._jit(self._put(trace_std), self._put(statics_np),
-                          self._put(i_polys_np), self._get_pack())
+                          self._put(i_polys_np), self._get_pack(),
+                          self._get_mxund())
             from ..parallel.distributed import fetch
             roots_np = fetch(roots_cat).astype("<u4")           # tiny sync
         marks.append(("pipeline+roots sync", time.monotonic()))

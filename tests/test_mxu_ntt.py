@@ -1,8 +1,15 @@
-"""The MXU int8-matmul DFT prototype (ntt/mxu.py) must agree with a host
-big-int DFT oracle and with the production transform."""
+"""The MXU digit-matmul DFT (ntt/mxu.py) must agree with a host big-int DFT
+oracle, with the production VPU transform, and across its three
+implementations (XLA reference, Pallas interpret, multi-level core).
+
+The balanced signed base-256 scheme replaces galois's WASM transform kernels
+(consumed at /root/reference/lib/Stark.ts:106-109) on the MXU."""
 
 import numpy as np
 import pytest
+
+import jax
+import jax.numpy as jnp
 
 from genstark_tpu import ntt
 from genstark_tpu.field import P128, create_prime_field
@@ -10,41 +17,101 @@ from genstark_tpu.field.limbs import ints_to_limbs, limbs_to_ints
 from genstark_tpu.ntt import mxu
 
 
-def _dft_oracle(field, values):
-    f = field.host
-    n = len(values)
-    w = f.get_root_of_unity(n)
+@pytest.fixture(scope="module")
+def field():
+    return create_prime_field(P128)
+
+
+def _dft_oracle(field, values, root):
     p = field.modulus
-    return [sum(pow(w, r * c, p) * values[c] for c in range(n)) % p
+    n = len(values)
+    return [sum(pow(root, r * c, p) * values[c] for c in range(n)) % p
             for r in range(n)]
 
 
-@pytest.mark.parametrize("n,B", [(16, 3), (64, 2)])
-def test_mxu_dft_matches_oracle(n, B):
-    import jax.numpy as jnp
-    field = create_prime_field(P128)
+@pytest.mark.parametrize("m,B", [(16, 3), (64, 2), (128, 2)])
+def test_mxu_dft_ref_matches_oracle(field, m, B):
+    f = field.host
+    root = f.get_root_of_unity(m)
+    w8 = jnp.asarray(mxu.w_digits(field, m, root))
     rng = np.random.default_rng(13)
-    cols = [[int(v) % field.modulus
-             for v in rng.integers(0, 1 << 63, size=n) * rng.integers(1, 1 << 63, size=n)]
+    p = field.modulus
+    cols = [[int(a) * int(b) % p
+             for a, b in zip(rng.integers(0, 1 << 62, size=m),
+                             rng.integers(1, 1 << 62, size=m))]
             for _ in range(B)]
-    # x_std: [L, n, B]
-    x = np.zeros((8, n, B), dtype=np.uint32)
+    y = np.zeros((B, 8, m), dtype=np.uint32)
     for b in range(B):
-        x[:, :, b] = ints_to_limbs(cols[b], 8)
-    out = mxu.mxu_dft(field, jnp.asarray(x), n)
+        y[b] = ints_to_limbs(cols[b], 8)
+    out = mxu.mxu_dft_ref(field, jnp.asarray(y), m, w8)
     for b in range(B):
-        got = limbs_to_ints(np.asarray(out[:, :, b]))
-        assert got == _dft_oracle(field, cols[b]), f"column {b} differs"
+        got = limbs_to_ints(np.asarray(out[b]))
+        assert got == _dft_oracle(field, cols[b], root), f"column {b}"
 
 
-def test_mxu_dft_matches_production_ntt(n=128):
-    import jax.numpy as jnp
-    field = create_prime_field(P128)
+def test_mxu_dft_extreme_values(field):
+    """All-(p-1) input: maximal digits through the s32 accumulators and the
+    solinas reduction chain."""
+    m = 128
+    f = field.host
+    p = field.modulus
+    root = f.get_root_of_unity(m)
+    w8 = jnp.asarray(mxu.w_digits(field, m, root))
+    y = np.asarray(ints_to_limbs([p - 1] * m, 8))[None]
+    out = mxu.mxu_dft_ref(field, jnp.asarray(y), m, w8)
+    assert limbs_to_ints(np.asarray(out[0])) == \
+        _dft_oracle(field, [p - 1] * m, root)
+
+
+def test_mxu_pallas_interpret_matches_ref(field):
+    """The Pallas kernel (interpret mode) runs the identical math as the XLA
+    reference — covers the kernel body + block plumbing without a TPU."""
+    m, B = 128, 128
+    f = field.host
+    p = field.modulus
+    root = f.get_root_of_unity(m)
+    w8 = jnp.asarray(mxu.w_digits(field, m, root))
     rng = np.random.default_rng(29)
-    vals = [int(v) % field.modulus for v in rng.integers(0, 1 << 63, size=n)]
-    x = np.zeros((8, n, 1), dtype=np.uint32)
-    x[:, :, 0] = ints_to_limbs(vals, 8)
-    out = mxu.mxu_dft(field, jnp.asarray(x), n)
-    got = limbs_to_ints(np.asarray(out[:, :, 0]))
-    want = field.device.to_ints(ntt.ntt(field, field.device.from_ints(vals)))
-    assert got == want
+    vals = [[int(v) % p for v in rng.integers(0, 1 << 63, size=m)]
+            for _ in range(B)]
+    y = np.zeros((B, 8, m), dtype=np.uint32)
+    for b in range(B):
+        y[b] = ints_to_limbs(vals[b], 8)
+    ref = mxu.mxu_dft_ref(field, jnp.asarray(y), m, w8)
+    got = mxu.mxu_dft(field, jnp.asarray(y), m, w8, interpret=True)
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_mxu_multilevel_matches_production(field, monkeypatch):
+    """The full multi-level transform (forced on via GENSTARK_MXU=1, XLA ref
+    dispatch on CPU) is bit-identical to ntt_core_table, including the
+    folded iNTT scale, for a size with a small trailing level."""
+    n = 1 << 13                                        # levels [128, 64]
+    monkeypatch.setenv("GENSTARK_MXU", "1")
+    ntt._use_mxu.cache_clear()
+    try:
+        rng = np.random.default_rng(5)
+        p = field.modulus
+        vals = [int(v) % p for v in rng.integers(0, 1 << 63, size=n)]
+        x = field.device.from_ints(vals)
+        plan = ntt.get_plan(field, n, False)
+        assert plan.mxu is not None or ntt.mxu_applicable(field, n)
+        tabs = ntt.get_mxu_plan(field, n, plan.w, 1).bundle()
+        got = field.device.to_ints(jax.jit(
+            lambda a, t: ntt.mxu_transform_core(field, a, n, t))(x, tabs))
+        want = field.device.to_ints(jax.jit(
+            lambda a, w: ntt.ntt_core_table(field, a, n, w))(x, plan.w_table))
+        assert got == want
+        # inverse with folded n^-1 scale: roundtrip must be exact
+        f = field.host
+        inv_root = f.inv(plan.w)
+        itabs = ntt.get_mxu_plan(field, n, inv_root,
+                                 f.inv(n % p)).bundle()
+        back = jax.jit(
+            lambda a, t: ntt.mxu_transform_core(field, a, n, t))(
+                jnp.asarray(np.asarray(ints_to_limbs(want, 8))), itabs)
+        # the transform is representation-agnostic: standard-form input in,
+        # standard-form interpolation out (no Montgomery conversion)
+        assert limbs_to_ints(np.asarray(back)) == vals
+    finally:
+        ntt._use_mxu.cache_clear()

@@ -56,24 +56,24 @@ def test_sharded_proof_bytes_match_single_device(mesh8):
 
 
 def test_sharded_proof_bytes_match_single_device_p128_small(mesh8):
-    """Multi-limb (L=8) sharding in the DEFAULT suite: Ne = 256 keeps the
-    XLA:CPU compile small (no FRI fold — the fold collectives are covered by
-    the P32 test above) while still exercising the distributed 4-step NTT,
-    sharded hashing/Merkle and the linear combination over 8 devices with
-    4-limb elements.
+    """Multi-limb (L=8) sharding in the DEFAULT suite, WITH a FRI fold:
+    steps = 128 -> Ne = 512, so the sharded path covers the distributed
+    4-step NTT, sharded hashing/Merkle, the linear combination AND one
+    sharded fold (stride transpose) over 8 devices with 8-limb elements.
 
     The single-device baseline is PINNED (sha256 of the proof bytes) rather
     than recomputed — the suite is compile-bound and the baseline program
     would double this test's cost; regenerate the pin with the snippet in
-    the assert message if the transcript legitimately changes."""
+    the assert message if the transcript legitimately changes.  (The
+    @slow test below proves the same config single-device live — running it
+    regenerates the pin.)"""
     import hashlib
-    opts = {"extension_factor": 4, "exe_query_count": 8, "fri_query_count": 6}
-    sharded = _mimc_proof(64, P128, opts, mesh8)
+    sharded = _mimc_proof(128, P128, _OPTS, mesh8)
     assert (len(sharded), hashlib.sha256(sharded).hexdigest()) == (
-        7329,
-        "3fa3bc9f84d3505912258df9974587b18b35619116a2787786b3beacd3cc4917"), \
+        8119,
+        "ea2c42e4b7fe34724f94d38b8c9452528df43f9946096fd6eda61bbf13740d9f"), \
         ("sharded p128 proof differs from the pinned single-device bytes; "
-         "regenerate via _mimc_proof(64, P128, opts, None) if the "
+         "regenerate via _mimc_proof(128, P128, _OPTS, None) if the "
          "transcript change is intentional")
 
 
