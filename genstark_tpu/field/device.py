@@ -80,6 +80,60 @@ class DeviceField:
         limbs = int_to_limbs(value % self.p, self.L)
         return jnp.asarray(limbs).reshape((self.L,) + (1,) * len(shape))
 
+    # ----- Pallas elementwise dispatch --------------------------------------
+    @staticmethod
+    @functools.lru_cache(maxsize=None)
+    def _use_pallas_ops() -> bool:
+        """Route large elementwise ops through the VMEM tile kernels
+        (field/pallas_ops.py) on TPU: the jnp accumulator-array formulation
+        round-trips ~2x-the-data per partial product through HBM — one
+        full-domain mont_mul at 2^21 measures ~22 ms vs ~0.4 ms tiled.
+        GENSTARK_NO_PALLAS=1 disables (same kill switch as the kernels)."""
+        import os
+        if os.environ.get("GENSTARK_NO_PALLAS"):
+            return False
+        return jax.default_backend() == "tpu"
+
+    _pallas_min_n = 1 << 16   # below this the kernel-count cost outweighs
+
+    def _pallas_elementwise(self, op: str, a: jnp.ndarray, b: jnp.ndarray):
+        """Tile-kernel fast path for mul/add/sub, or None to fall back.
+        Handles same-batch-shape operands and [L, 1...]-broadcast scalars
+        (either side for commutative ops)."""
+        if not self._use_pallas_ops():
+            return None
+        a_sc = all(d == 1 for d in a.shape[1:])
+        b_sc = all(d == 1 for d in b.shape[1:])
+        if a_sc and op in ("mul", "add") and not b_sc:
+            a, b = b, a
+            a_sc, b_sc = b_sc, a_sc
+        if a_sc:
+            return None
+        n = 1
+        for d in a.shape[1:]:
+            n *= d
+        if n < self._pallas_min_n or n % 2048:
+            return None
+        if not b_sc and b.shape[1:] != a.shape[1:]:
+            return None
+        from . import pallas_ops
+        b2 = b.reshape(self.L, 1) if b_sc else b.reshape(self.L, n)
+        out = pallas_ops.elementwise(self, op, a.reshape(self.L, n), b2)
+        return out.reshape(a.shape)
+
+    def outer_table(self, outer: jnp.ndarray, inner: jnp.ndarray
+                    ) -> jnp.ndarray:
+        """[L, nj] x [L, s] -> [L, nj*s] Montgomery outer product
+        t[j*s + k] = outer[j]*inner[k] (factored power-table regeneration).
+        Tile kernel on TPU; jnp broadcast elsewhere."""
+        if self._use_pallas_ops():
+            from . import pallas_ops
+            out = pallas_ops.outer_product_table(self, outer, inner)
+            if out is not None:
+                return out
+        full = self.mont_mul(outer[:, :, None], inner[:, None, :])
+        return full.reshape(self.L, outer.shape[1] * inner.shape[1])
+
     # ----- Montgomery core --------------------------------------------------
     def mont_mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """SOS Montgomery multiplication: returns a*b*R^-1 mod p.
@@ -104,6 +158,9 @@ class DeviceField:
             a = a.reshape((L,) + (1,) * (b.ndim - a.ndim) + a.shape[1:])
         elif b.ndim < a.ndim:
             b = b.reshape((L,) + (1,) * (a.ndim - b.ndim) + b.shape[1:])
+        fast = self._pallas_elementwise("mul", a, b)
+        if fast is not None:
+            return fast
         shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
         acc = jnp.zeros((2 * L + 1,) + shape, dtype=_U32)
         p_arr = jnp.asarray(self._p_np).reshape((L,) + (1,) * len(shape))
@@ -154,6 +211,10 @@ class DeviceField:
 
     def _add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         L = self.L
+        if a.ndim == b.ndim:
+            fast = self._pallas_elementwise("add", a, b)
+            if fast is not None:
+                return fast
         shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
         t = []
         c = jnp.zeros(shape, dtype=_U32)
@@ -165,6 +226,10 @@ class DeviceField:
 
     def _sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         L = self.L
+        if a.ndim == b.ndim:
+            fast = self._pallas_elementwise("sub", a, b)
+            if fast is not None:
+                return fast
         shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
         t = []
         borrow = jnp.zeros(shape, dtype=_U32)
@@ -194,10 +259,8 @@ class DeviceField:
         return self.mont_mul(a, r2)
 
     def _from_mont(self, a: jnp.ndarray) -> jnp.ndarray:
-        one = jnp.concatenate(
-            [jnp.ones((1,) + a.shape[1:], dtype=_U32),
-             jnp.zeros((self.L - 1,) + a.shape[1:], dtype=_U32)], axis=0
-        ) if self.L > 1 else jnp.ones((1,) + a.shape[1:], dtype=_U32)
+        one = jnp.asarray(int_to_limbs(1, self.L)).reshape(
+            (self.L,) + (1,) * (a.ndim - 1))
         return self.mont_mul(a, one)
 
     def one(self, shape=()) -> jnp.ndarray:

@@ -90,8 +90,7 @@ class _LazyTables:
             out = jax.lax.slice(self._tpack, (0, off), (L, off + ln))
         else:
             outer, inner = self.parts(key)
-            full = dev.mont_mul(outer[:, :, None], inner[:, None, :])
-            out = full.reshape(L, ln)
+            out = dev.outer_table(outer, inner)
         self._cache[key] = out
         return out
 
@@ -354,6 +353,13 @@ class FusedProver:
         from jax.sharding import NamedSharding, PartitionSpec as P
         return jax.device_put(arr, NamedSharding(self.mesh, P()))
 
+    def _put16(self, arr: np.ndarray) -> jnp.ndarray:
+        """Upload a 16-bit-limb u32 array as uint16: the tunnelled backend
+        moves host->device bytes at ~40 MB/s, so halving the trace/static
+        upload (8 MB at 2^17 steps, 64 MB at 2^20) takes ~100 ms off every
+        proof; the stages widen back to u32 in-program (one free cast)."""
+        return self._put(arr.astype(np.uint16))
+
     def _slice_tables(self, tpack):
         """Lazy view of the packed parameter, keyed by spec name: tables are
         sliced (and factored ones regenerated as outer[j]*inner[k]) only when
@@ -485,6 +491,7 @@ class FusedProver:
         barrier = jax.lax.optimization_barrier if self._split else \
             (lambda x: x)
 
+        trace_std = trace_std.astype(jnp.uint32)      # u16 upload (see _put16)
         trace = _to_mont_batch(dev, trace_std)                  # [R, L, T]
         p_polys = intt_t(trace)
         p_evals = lde(p_polys, Ne, "w_Ne")                      # [R, L, Ne]
@@ -495,7 +502,7 @@ class FusedProver:
         # static registers: polynomials once, then per-domain evaluations
         K = statics_std.shape[0]
         if K:
-            statics = _to_mont_batch(dev, statics_std)          # [K, L, T]
+            statics = _to_mont_batch(dev, statics_std.astype(jnp.uint32))
             static_polys = intt_t(statics)
             for k in self.secret_idx:
                 s_eval = lde(static_polys[k], Ne, "w_Ne")
@@ -553,6 +560,7 @@ class FusedProver:
         q_evals = shard_dom(context.evaluate_transition_constraints_traced(
             p_evals_nc, n_evals_nc,
             [static_evals_nc[k] for k in range(K)]))
+        i_polys_std = i_polys_std.astype(jnp.uint32)  # u16 upload (see _put16)
         i_polys_mont = _to_mont_batch(dev, i_polys_std) if i_polys_std.shape[0] \
             else i_polys_std
 
@@ -716,8 +724,7 @@ class FusedProver:
 
         def body(args):
             qe_c, b_c, e_c, dom_o, incr_o = args
-            dom_c = dev.mont_mul(dom_o[:, :, None],
-                                 dom_inner[:, None, :]).reshape(L, M)
+            dom_c = dev.outer_table(dom_o, dom_inner)
             # Z(x)^-1 = (x - x_last) * inv(x^T - 1): x^T is ext-periodic, so
             # the inverted numerator series tiles (ZeroPolynomial semantics;
             # M is a multiple of ext, so every chunk sees the same tiling)
@@ -726,8 +733,7 @@ class FusedProver:
             d_c = dev.mont_mul(qe_c, zinv_c)
             incr_c = None
             if incr_parts is not None:
-                incr_c = dev.mont_mul(incr_o[:, :, None],
-                                      incr_parts[1][:, None, :]).reshape(L, M)
+                incr_c = dev.outer_table(incr_o, incr_parts[1])
             ba = [b_c[i] for i in range(B)]
             if b_incremental > 0:
                 ba += [dev.mont_mul(v, incr_c) for v in ba[:B]]
@@ -842,12 +848,12 @@ class FusedProver:
                 x.reshape(-1), (0,), (1,)))) if \
                 os.environ.get("GENSTARK_STAGE_TIMING") else (lambda x: None)
             p_polys, static_polys, e_std, e_flat, e_root_dev = jit_a(
-                self._put(trace_std), self._put(statics_np),
+                self._put16(trace_std), self._put16(statics_np),
                 self._get_pack(), self._get_mxund())
             stage_sync(e_flat)
             marks.append(("stage A (commit)", time.monotonic()))
             l_evals = jit_b(p_polys, static_polys, e_std,
-                            self._put(i_polys_np), e_root_dev,
+                            self._put16(i_polys_np), e_root_dev,
                             self._get_pack(), self._get_mxund())
             stage_sync(l_evals)
             marks.append(("stage B (lcomb)", time.monotonic()))
@@ -862,8 +868,8 @@ class FusedProver:
                 axis=0).astype("<u4")
         else:
             e_flat, fri_cat, e_std, vals_cat, roots_cat, remainder_dev = \
-                self._jit(self._put(trace_std), self._put(statics_np),
-                          self._put(i_polys_np), self._get_pack(),
+                self._jit(self._put16(trace_std), self._put16(statics_np),
+                          self._put16(i_polys_np), self._get_pack(),
                           self._get_mxund())
             from ..parallel.distributed import fetch
             roots_np = fetch(roots_cat).astype("<u4")           # tiny sync
