@@ -186,19 +186,21 @@ _MXU_LEVEL_BITS = 7          # level size 128: best measured bf/s (MXU_r04)
 
 def mxu_levels(n: int):
     """Level sizes for the multi-level MXU decomposition of an n-point
-    transform: floor(log2(n)/7) levels of 128 plus one small trailing level
-    for the remaining bits — EVERY level is a digit-matmul DFT on the MXU
-    (the kernel accepts any power-of-two m: whole-array blocks are legal
-    below the 128-lane tile), so no VPU residual transform exists.  None
-    when n is too small."""
+    transform — EVERY level is a digit-matmul DFT on the MXU (the kernel
+    accepts any power-of-two m: whole-array blocks are legal below the
+    128-lane tile), so no VPU residual transform exists.
+
+    The bit count splits into ceil(bits/7) levels as EQUALLY as possible
+    (sizes within 2x of each other) rather than [128, ..., tiny]: total MAC
+    count scales with sum(m_i), and a very small trailing level (e.g. m=8
+    at n=2^24) degenerates into tens of thousands of overhead-dominated
+    grid steps.  None when n is too small."""
     bits = n.bit_length() - 1
-    q, rb = divmod(bits, _MXU_LEVEL_BITS)
-    if q < 1:
+    q = -(-bits // _MXU_LEVEL_BITS)
+    if q < 1 or bits < _MXU_LEVEL_BITS:
         return None
-    levels = [1 << _MXU_LEVEL_BITS] * q
-    if rb:
-        levels.append(1 << rb)
-    return levels
+    base, extra = divmod(bits, q)
+    return [1 << (base + (1 if i < extra else 0)) for i in range(q)]
 
 
 def mxu_applicable(field: PrimeField, n: int) -> bool:
@@ -216,7 +218,7 @@ def mxu_table_specs(field: PrimeField, n: int, root: int, scale: int = 1):
     single scaled matrix scales the whole transform.  Each level with
     rest > 1 gets the factored twiddle pair A[k, h] = w_l^(k*h*s),
     B[k, t] = w_l^(k*t) — O(sqrt(rest)) entries instead of the O(n) panel."""
-    from .mxu import twiddle_split
+    from .mxu import level_tc, twiddle_split
     levels = mxu_levels(n)
     p = field.modulus
     root %= p
@@ -228,9 +230,10 @@ def mxu_table_specs(field: PrimeField, n: int, root: int, scale: int = 1):
         w_l = pow(root, n // n_l, p)        # canonical n_l-root wrt `root`
         w8_roots.append(pow(w_l, rest, p))  # canonical m-root
         if rest > 1:
-            s = twiddle_split(rest)
+            tc = level_tc(m)
+            s = twiddle_split(rest, tc)
             if s == 0:                      # direct period-`rest` panel
-                ab.append(("d", w_l, rest))
+                ab.append(("d", w_l, rest, tc))
             else:
                 ab.append(("f", pow(w_l, s, p), rest // s, w_l, s))
         else:
@@ -259,9 +262,9 @@ class MxuPlan:
             if spec is None:
                 self.ab.append(None)
             elif spec[0] == "d":
-                _, w_l, rest = spec
+                _, w_l, rest, tc = spec
                 self.ab.append({"p": jnp.asarray(
-                    _direct_panel_np(params, w_l, m, rest))})
+                    _direct_panel_np(params, w_l, m, rest, tc))})
             else:
                 _, a_seed, ca, b_seed, sb = spec
                 # A stored [cols(h), L, m]: the kernel selects h via a

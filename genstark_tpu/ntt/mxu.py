@@ -244,6 +244,16 @@ def _mont_mul_tiles(a: List[jnp.ndarray], b: List[jnp.ndarray],
     return _mont_mul_limbs(a, b, p_limbs, n0p)
 
 
+def level_tc(m: int) -> int:
+    """Column-tile width for a level of size m: 128 for full-tile levels,
+    wider for small m so each grid step still carries ~16K points of work
+    (a small trailing level with Tc = 128 degenerates into tens of
+    thousands of overhead-dominated grid steps)."""
+    if m >= 128:
+        return 128
+    return min(2048, 128 * (128 // m))
+
+
 def twiddle_split(rest: int, Tc: int = 128) -> int:
     """The factored-twiddle inner size s for a level with `rest` remaining
     columns: s >= Tc keeps every in-kernel twiddle op a plain 2-D broadcast
@@ -406,7 +416,7 @@ def run_dft_level(field: PrimeField, w8: jnp.ndarray, x8: jnp.ndarray,
     assert m <= MAX_M and (m & (m - 1)) == 0
     if not interpret and jax.default_backend() != "tpu":
         return _run_dft_level_ref(field, w8, x8, m, rest, tw)
-    Tr, Tc = min(m, 128), 128
+    Tr, Tc = min(m, 128), level_tc(m)
     cols = x8.shape[2]
     cols_p = -(-cols // Tc) * Tc
     if cols_p != cols:

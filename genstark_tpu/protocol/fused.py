@@ -457,7 +457,7 @@ class FusedProver:
 
         return tb, shard_dom, pin_rows_minor, intt_t, lde, cmap1
 
-    def _stage_commit(self, trace_std, statics_std, tpack, mxund,
+    def _stage_commit(self, trace_std, statics_parts, tpack, mxund,
                       keep_mont=False):
         """Reference steps 3-4 (/root/reference/lib/Stark.ts:104-119):
         trace interpolation, LDE, static-register evaluations, evaluation
@@ -500,9 +500,10 @@ class FusedProver:
         p_polys, e_vectors_std = barrier((p_polys, e_vectors_std))
 
         # static registers: polynomials once, then per-domain evaluations
+        statics_std = self._assemble_statics(statics_parts)
         K = statics_std.shape[0]
         if K:
-            statics = _to_mont_batch(dev, statics_std.astype(jnp.uint32))
+            statics = _to_mont_batch(dev, statics_std)
             static_polys = intt_t(statics)
             for k in self.secret_idx:
                 s_eval = lde(static_polys[k], Ne, "w_Ne")
@@ -795,7 +796,7 @@ class FusedProver:
         roots_cat = jnp.stack(roots)                            # [layers+1, 8]
         return fri_cat, vals_cat, roots_cat, remainder_std
 
-    def _pipeline(self, trace_std, statics_std, i_polys_std, tpack, mxund):
+    def _pipeline(self, trace_std, statics_parts, i_polys_std, tpack, mxund):
         """The whole prover (reference steps 3-7, Stark.ts:104-144) as ONE
         traced program — used for small/medium domains where a single
         dispatch wins.  Large domains run the three stage programs instead
@@ -813,7 +814,7 @@ class FusedProver:
           remainder_std [L, remainder]
         """
         p_polys, static_polys, e_std, e_flat, e_root, evals_mont = \
-            self._stage_commit(trace_std, statics_std, tpack, mxund,
+            self._stage_commit(trace_std, statics_parts, tpack, mxund,
                                keep_mont=True)
         l_evals = self._stage_lcomb(p_polys, static_polys, e_std,
                                     i_polys_std, e_root, tpack, mxund,
@@ -836,7 +837,9 @@ class FusedProver:
         timing = os.environ.get("GENSTARK_TIMING")
         marks = [("start", time.monotonic())]
 
-        statics_np = self._statics_std()
+        statics_full, statics_cycs = self._statics_std()
+        statics_parts = (self._put16(statics_full),
+                         tuple(self._put16(c) for c in statics_cycs))
         i_polys_np = self.c_poly.b_poly.i_polys_std()
         marks.append(("host prep", time.monotonic()))
         if self._split:
@@ -848,7 +851,7 @@ class FusedProver:
                 x.reshape(-1), (0,), (1,)))) if \
                 os.environ.get("GENSTARK_STAGE_TIMING") else (lambda x: None)
             p_polys, static_polys, e_std, e_flat, e_root_dev = jit_a(
-                self._put16(trace_std), self._put16(statics_np),
+                self._put16(trace_std), statics_parts,
                 self._get_pack(), self._get_mxund())
             stage_sync(e_flat)
             marks.append(("stage A (commit)", time.monotonic()))
@@ -868,7 +871,7 @@ class FusedProver:
                 axis=0).astype("<u4")
         else:
             e_flat, fri_cat, e_std, vals_cat, roots_cat, remainder_dev = \
-                self._jit(self._put16(trace_std), self._put16(statics_np),
+                self._jit(self._put16(trace_std), statics_parts,
                           self._put16(i_polys_np), self._get_pack(),
                           self._get_mxund())
             from ..parallel.distributed import fetch
@@ -1029,15 +1032,53 @@ class FusedProver:
         return StarkProof(ev_root=e_root, ev_proof=e_proof, ld_proof=ld_proof,
                           i_shapes=context.input_shapes)
 
-    def _statics_std(self) -> np.ndarray:
+    def _statics_std(self) -> tuple:
+        """Static-register columns for upload, cyclic-compressed: registers
+        with a periodic pattern (cycle / mask registers) upload ONE period
+        and are tiled to trace length in-program (_assemble_statics) — at
+        2^20 steps a cyclic register's column is 16 MB over a ~40 MB/s
+        tunnel, its pattern a few KB.  Input-driven registers upload full.
+        Returns (full [K_f, L, T], (pattern [L, p_k], ...)); the register
+        order is recorded in self._static_plan at first use."""
         context = self.context
         L = self.field.device.L
         cols = context.static_columns
         K = len(cols)
         T = context.trace_length
-        out = np.zeros((K, L, T), dtype=np.uint32)
+        plan = []
+        full, cycs = [], []
         for k in range(K):
-            out[k] = ints_to_limbs(cols[k], L)
-        return out
+            pattern = context._cyclic_pattern(k)
+            if pattern is not None and len(pattern) < T and \
+                    T % len(pattern) == 0:
+                plan.append("cyc")
+                cycs.append(ints_to_limbs(pattern, L))
+            else:
+                plan.append("full")
+                full.append(ints_to_limbs(cols[k], L))
+        self._static_plan = tuple(plan)
+        full_arr = (np.stack(full) if full
+                    else np.zeros((0, L, T), dtype=np.uint32))
+        return full_arr, tuple(cycs)
+
+    def _assemble_statics(self, statics_parts) -> jnp.ndarray:
+        """Traced: (full, cycs) u16 upload parts -> [K, L, T] u32 standard-
+        form static columns in register order (see _statics_std)."""
+        full, cycs = statics_parts
+        T = self.context.trace_length
+        L = self.field.device.L
+        cols = []
+        fi = ci = 0
+        for kind in self._static_plan:
+            if kind == "full":
+                cols.append(full[fi].astype(jnp.uint32))
+                fi += 1
+            else:
+                pat = cycs[ci].astype(jnp.uint32)
+                ci += 1
+                cols.append(jnp.tile(pat, (1, T // pat.shape[-1])))
+        if not cols:
+            return jnp.zeros((0, L, T), dtype=jnp.uint32)
+        return jnp.stack(cols)
 
 
