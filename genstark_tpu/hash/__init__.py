@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -125,11 +126,15 @@ class Hash:
         """One Merkle level: uint32[8, 2N] -> uint32[8, N] (word-major).
 
         Pair k = leaves 2k (left) and 2k+1 (right): split even/odd lanes via
-        a reshape-pick (a stride-2 lane slice would be a strided slice) and
-        stack left over right as a 16-word message."""
-        n = digests.shape[1] // 2
-        d = digests.reshape(8, n, 2)
-        pairs = jnp.concatenate([d[:, :, 0], d[:, :, 1]], axis=0)  # [16, N]
+        stride-2 lane slices and stack left over right as a 16-word message.
+        (A reshape-pick [8, n, 2] makes XLA's layout assignment prefer a
+        word-minor {0,1} layout for the producer, which tile-pads 8 lanes
+        to 128 — a silent 16x HBM blowup on every level-0 buffer.)"""
+        n2 = digests.shape[1]
+        n = n2 // 2
+        left = jax.lax.slice(digests, (0, 0), (8, n2 - 1), (1, 2))
+        right = jax.lax.slice(digests, (0, 1), (8, n2), (1, 2))
+        pairs = jnp.concatenate([left, right], axis=0)             # [16, N]
         return self.digest_rows(pairs, 64)
 
 

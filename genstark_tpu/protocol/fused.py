@@ -400,6 +400,9 @@ class FusedProver:
             {0,1} (8-wide minor), which tile-pads 8 lanes -> 128 — a 16x HBM
             blowup that OOMs the 2^24-domain Merkle buffers (observed: a
             22 GB allocation for the 1.4 GB tree concat)."""
+            import os
+            if os.environ.get("GENSTARK_NO_LAYOUT_PIN"):
+                return x
             if mesh is not None or jax.default_backend() != "tpu":
                 return x
             from jax.experimental.layout import Layout, with_layout_constraint
@@ -517,7 +520,11 @@ class FusedProver:
         V = len(e_vectors_std)
         leaves = shard_dom(pin_rows_minor(hash_.merge_element_rows(
             [e_std[v] for v in range(V)], elem)))
-        leaves = barrier(leaves)
+        # NO barrier on the word-major leaves: optimization_barrier
+        # materializes a copy whose layout XLA re-normalizes to {0,1}
+        # (8-wide minor), tile-padding 8 lanes -> 128 — a 16 GB allocation
+        # at Ne = 2^25 (the phase temps it used to free are gone now that
+        # the elementwise chains run as Pallas tile kernels)
         e_flat = pin_rows_minor(build_tree_flat(hash_, leaves, Ne))
         e_root = fs.root_words(e_flat, Ne)
         if keep_mont:
@@ -837,6 +844,10 @@ class FusedProver:
         timing = os.environ.get("GENSTARK_TIMING")
         marks = [("start", time.monotonic())]
 
+        # start the trace transfer FIRST: device_put is asynchronous, so the
+        # ~40 MB/s tunnel copy (the largest fixed cost at big trace lengths)
+        # overlaps the host-side statics/interpolant prep below
+        trace_dev = self._put16(trace_std)
         statics_full, statics_cycs = self._statics_std()
         statics_parts = (self._put16(statics_full),
                          tuple(self._put16(c) for c in statics_cycs))
@@ -851,7 +862,7 @@ class FusedProver:
                 x.reshape(-1), (0,), (1,)))) if \
                 os.environ.get("GENSTARK_STAGE_TIMING") else (lambda x: None)
             p_polys, static_polys, e_std, e_flat, e_root_dev = jit_a(
-                self._put16(trace_std), statics_parts,
+                trace_dev, statics_parts,
                 self._get_pack(), self._get_mxund())
             stage_sync(e_flat)
             marks.append(("stage A (commit)", time.monotonic()))
@@ -871,7 +882,7 @@ class FusedProver:
                 axis=0).astype("<u4")
         else:
             e_flat, fri_cat, e_std, vals_cat, roots_cat, remainder_dev = \
-                self._jit(self._put16(trace_std), statics_parts,
+                self._jit(trace_dev, statics_parts,
                           self._put16(i_polys_np), self._get_pack(),
                           self._get_mxund())
             from ..parallel.distributed import fetch
