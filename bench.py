@@ -125,21 +125,25 @@ def bench_ntt():
     from genstark_tpu.field import P128, create_prime_field
 
     n = int(os.environ.get("BENCH_NTT_N", 2 ** 20))
-    k = int(os.environ.get("BENCH_NTT_CHAIN", 4))
+    # 16 chained transforms ~ 60 ms at 2^20: comfortably amortizes the
+    # ~27 ms tunnel dispatch floor (4 no longer does at MXU speeds)
+    k = int(os.environ.get("BENCH_NTT_CHAIN", 16))
     field = create_prime_field(P128)
     plan = ntt.get_plan(field, n, False)
 
     @jax.jit
-    def f(a, w_table, panel):
+    def f(a, w_table, panel, mxu_tabs):
         for _ in range(k):
-            if panel is not None:
+            if mxu_tabs is not None:
+                a = ntt.mxu_transform_core(field, a, n, mxu_tabs)
+            elif panel is not None:
                 a = ntt._four_step_core(field, a, n, w_table, panel=panel)
             else:
                 a = ntt.ntt_core_table(field, a, n, w_table)
         return a
 
     def run(x):
-        out = f(x, plan.w_table, plan.panel)
+        out = f(x, plan.w_table, plan.panel, plan.mxu)
         np.asarray(jax.lax.slice(out.reshape(-1), (0,), (1,)))  # force
         return out
 

@@ -102,7 +102,11 @@ def _dist_ntt_fn(field: PrimeField, n: int, n_devices: int, inverse: bool,
     sharded = shard_map(
         body, mesh=mesh,
         in_specs=(P(None, None, axis), P(None, axis)),
-        out_specs=P(None, axis, None))
+        out_specs=P(None, axis, None),
+        # pallas_call inside the body (butterfly/hash kernels on real TPUs)
+        # carries no varying-mesh-axes annotation; the explicit specs are
+        # the ground truth, so skip the vma checker
+        check_vma=False)
 
     def run(values):
         a = values.reshape(dev.L, n1, n2)
@@ -176,7 +180,8 @@ def dist_ntt_core(field: PrimeField, a: jnp.ndarray, n: int,
         body, mesh=mesh,
         in_specs=(P(None, None, None, axis), P(None, axis),
                   P(None, None), P(None, None)),
-        out_specs=P(None, None, axis, None))
+        out_specs=P(None, None, axis, None),
+        check_vma=False)   # see above: pallas bodies lack vma annotations
 
     batch_shape = a.shape[:-2]
     x = a.reshape((-1, L, n)) if batch_shape else a[None]

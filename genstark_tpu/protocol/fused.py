@@ -320,6 +320,8 @@ class FusedProver:
         pack).  Inverse keys fold their n^-1 scale into the level-1 digit
         matrix, so the consuming stage skips its scaling pass.  Empty dict
         wherever the MXU path is off (CPU tests, small fields)."""
+        if self.mesh is not None:
+            return {}             # mesh mode: GSPMD/dist paths only (above)
         if self._mxund_cache is None:
             from .. import ntt as _ntt
             field = self.field
@@ -378,7 +380,11 @@ class FusedProver:
         f = field.host
         T = context.trace_length
         tb = self._slice_tables(tpack)
-        mx = mxund or {}
+        # Mesh mode stays wholly on the GSPMD/dist transform paths: the MXU
+        # bundles are single-chip for now (Pallas calls under automatic
+        # partitioning would need explicit sharding rules, and mixing them
+        # with the dist path would double-apply or skip the folded n^-1).
+        mx = {} if self.mesh is not None else (mxund or {})
 
         mesh = self.mesh
         if mesh is not None:
@@ -595,7 +601,7 @@ class FusedProver:
                                  for r in range(R)])
             s_evals = [cmap1(dev._to_mont, e_std[R + i])
                        for i in range(e_std.shape[0] - R)]
-        mx = mxund or {}
+        mx = {} if self.mesh is not None else (mxund or {})
         c_tables = {
             "domain": tb["dom_fwd"],
             "nc_inv_w": None if "w_Nc_inv" in mx else tb["w_Nc_inv"],
@@ -673,7 +679,7 @@ class FusedProver:
             for i in group["indexes"]:
                 qa.append(dev.mont_mul(qa[i], powers))
         qc = dev.combine_many_mont(qa, d_coeffs)                 # [L, Nc]
-        mx = mxund or {}
+        mx = {} if self.mesh is not None else (mxund or {})
         if "w_Nc_inv" in mx:          # Nc^-1 folded into the MXU digits
             qc_poly = ntt.mxu_transform_core(field, qc, Nc, mx["w_Nc_inv"])
         else:
