@@ -69,6 +69,7 @@ def elementwise(dev, op: str, a2: jnp.ndarray, b2: jnp.ndarray,
                 interpret: bool = False) -> jnp.ndarray:
     """op in {mul, add, sub} on [L, N] limb arrays (b2: [L, N] or [L, 1])."""
     L, N = a2.shape
+    assert N % _TC == 0, "caller must guarantee tile-aligned batch"
     b_scalar = b2.shape[1] == 1
     return _ew_call(op, L, N, b_scalar, dev._p_np.tobytes(), int(dev._n0p),
                     interpret)(a2, b2)

@@ -210,14 +210,16 @@ def mxu_applicable(field: PrimeField, n: int) -> bool:
 
 def mxu_table_specs(field: PrimeField, n: int, root: int, scale: int = 1):
     """Host-side table recipe for one MXU multi-level transform:
-    (w8_roots, [(A_seed, cols) , (B_seed, s)) per level], res_seed).
+    (w8_roots per level, twiddle specs per level) where a twiddle spec is
+    None (rest == 1), ("d", w_l, rest, tc) for a direct period-`rest`
+    panel, or ("f", A_seed, rest//s, B_seed, s) for the factored pair.
 
-    All levels use the canonical 2^7-root relative to `root`; `scale`
-    (e.g. the iNTT's n^-1) is folded into LEVEL 1's digit matrix — every
-    output passes through level 1 exactly once and the rest is linear, so a
-    single scaled matrix scales the whole transform.  Each level with
-    rest > 1 gets the factored twiddle pair A[k, h] = w_l^(k*h*s),
-    B[k, t] = w_l^(k*t) — O(sqrt(rest)) entries instead of the O(n) panel."""
+    Each level's digit matrix uses the canonical m-root relative to `root`;
+    `scale` (e.g. the iNTT's n^-1) is folded into LEVEL 1's digit matrix —
+    every output passes through level 1 exactly once and the rest is
+    linear, so a single scaled matrix scales the whole transform.  The
+    factored twiddle A[k, h] = w_l^(k*h*s), B[k, t] = w_l^(k*t) is
+    O(sqrt(rest)) entries instead of the O(n) panel."""
     from .mxu import level_tc, twiddle_split
     levels = mxu_levels(n)
     p = field.modulus

@@ -101,11 +101,6 @@ def _to_mont_batch(dev, arr_std: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(dev._to_mont(moved), 0, 1)
 
 
-def _from_mont_batch(dev, arr: jnp.ndarray) -> jnp.ndarray:
-    moved = jnp.moveaxis(arr, 1, 0)
-    return jnp.moveaxis(dev._from_mont(moved), 0, 1)
-
-
 class FusedProver:
     """One instance per (Stark, proving-context shape, assertion structure).
 
@@ -145,6 +140,7 @@ class FusedProver:
         self._table_specs = self._build_table_specs()
         self._pack_cache = None       # device table pack, built on first prove
         self._mxund_cache = None      # MXU multi-level NTT bundles per key
+        self._static_plan = None      # set by _statics_std (cyc/full order)
         # Large domains run as THREE stage programs (commit / composition /
         # FRI) instead of one: the single fused program's XLA temp footprint
         # at Ne = 2^24 is ~37 GB (HBM is 16), while stage boundaries let the
@@ -1081,6 +1077,8 @@ class FusedProver:
     def _assemble_statics(self, statics_parts) -> jnp.ndarray:
         """Traced: (full, cycs) u16 upload parts -> [K, L, T] u32 standard-
         form static columns in register order (see _statics_std)."""
+        assert self._static_plan is not None, \
+            "_statics_std() must build the upload parts first"
         full, cycs = statics_parts
         T = self.context.trace_length
         L = self.field.device.L

@@ -82,6 +82,34 @@ def test_mxu_pallas_interpret_matches_ref(field):
     assert np.array_equal(np.asarray(ref), np.asarray(got))
 
 
+def test_mxu_factored_twiddle_kernel(field):
+    """The Pallas kernel's FACTORED twiddle mode (rest > tile: A-select on a
+    block-1 leading dim, B tiled along columns) matches the XLA reference —
+    interpret mode, small shapes.  The direct-panel mode is covered by the
+    multi-level test below; production sizes hit this path at rest > 128."""
+    m, rest, cols = 128, 256, 512
+    f = field.host
+    p = field.modulus
+    n_l = m * rest
+    w_l = f.get_root_of_unity(n_l)
+    root_m = pow(w_l, rest, p)
+    s = mxu.twiddle_split(rest, mxu.level_tc(m))
+    assert s >= 128, "must exercise the factored mode"
+    w8 = jnp.asarray(mxu.w_digits(field, m, root_m))
+    A = jnp.asarray(np.transpose(
+        ntt._panel_grid_np(field.params, pow(w_l, s, p), m, rest // s),
+        (2, 0, 1)))
+    Bt = jnp.asarray(ntt._panel_grid_np(field.params, w_l, m, s))
+    tw = {"a": A, "b": Bt}
+    rng = np.random.default_rng(41)
+    vals = [int(v) % p for v in rng.integers(0, 1 << 63, size=m * cols)]
+    x8 = mxu.encode_digits(
+        jnp.asarray(ints_to_limbs(vals, 8)).reshape(8, m, cols))
+    ref = mxu._run_dft_level_ref(field, w8, x8, m, rest, tw)
+    got = mxu.run_dft_level(field, w8, x8, m, rest, tw, interpret=True)
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_mxu_multilevel_matches_production(field, monkeypatch):
     """The full multi-level transform (forced on via GENSTARK_MXU=1, XLA ref
     dispatch on CPU) is bit-identical to ntt_core_table, including the

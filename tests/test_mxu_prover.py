@@ -29,21 +29,24 @@ def _proof_bytes(steps, opts):
 
 
 def test_mxu_proof_bytes_match_default(monkeypatch):
-    # Same config as tests/test_sharded_prover.py's pinned p128 fold test,
-    # so the DEFAULT-path baseline is the already-pinned digest (no second
-    # prover program compile in the suite).
-    opts = {"extension_factor": 4, "exe_query_count": 10,
+    # Smallest config with a pinned default-path digest (the suite is
+    # XLA:CPU-compile-bound and the MXU reference path compiles 289 digit
+    # dots per level — Ne = 256 keeps the program small).  Covers the
+    # bundle wiring through commit/composition/boundary transforms and the
+    # folded Nc^-1 scale; the folded T^-1 (iNTT) scale is pinned by
+    # tests/test_mxu_ntt.py's inverse round-trip.
+    opts = {"extension_factor": 4, "exe_query_count": 8,
             "fri_query_count": 6}
     monkeypatch.setenv("GENSTARK_MXU", "1")
     monkeypatch.setenv("GENSTARK_MXU_MIN", "64")
     ntt._use_mxu.cache_clear()
     ntt._mxu_min_n.cache_clear()
     try:
-        data = _proof_bytes(128, opts)
+        data = _proof_bytes(64, opts)
     finally:
         ntt._use_mxu.cache_clear()
         ntt._mxu_min_n.cache_clear()
     assert (len(data), hashlib.sha256(data).hexdigest()) == (
-        8119,
-        "ea2c42e4b7fe34724f94d38b8c9452528df43f9946096fd6eda61bbf13740d9f"), \
+        7329,
+        "3fa3bc9f84d3505912258df9974587b18b35619116a2787786b3beacd3cc4917"), \
         "MXU-path proof bytes differ from the default-path pinned digest"
