@@ -234,6 +234,7 @@ class ProvingContext(_ContextBase):
         self.seed = [int(s) % self.field.modulus for s in seed]
         self._trace = None
         self._trace_std = None
+        self._trace_u16 = None
 
     # ----- static columns ----------------------------------------------------
     @cached_property
@@ -263,6 +264,28 @@ class ProvingContext(_ContextBase):
             else:
                 raise TypeError(f"unknown static register {type(reg)}")
         return cols
+
+    def static_column_limbs(self, k: int, L: int) -> np.ndarray:
+        """Standard-form 16-bit limbs [L, T] of static column k, built
+        STRUCTURALLY (distinct values converted once, then numpy
+        repeat/tile/roll) — a column at 2^20 steps holds a million python
+        ints but only a handful of distinct values, and per-prove big-int
+        conversion of the full column was the dominant host-prep cost."""
+        from ..field.limbs import ints_to_limbs
+        T = self.trace_length
+        reg = self.schema.static_registers[k]
+        pattern = self._cyclic_pattern(k)
+        if pattern is not None:
+            base = ints_to_limbs(pattern, L)                # [L, ell]
+            return np.tile(base, (1, T // len(pattern)))
+        if isinstance(reg, InputRegister):
+            base = ints_to_limbs(self.input_values[k], L)   # [L, n_vals]
+            col = np.repeat(base, self.input_spans[k], axis=1)
+            if col.shape[1] != T:
+                raise ValueError("input register span does not match trace length")
+            # col[t] = expanded[(t - shift) mod T]
+            return np.roll(col, reg.shift, axis=1) if reg.shift else col
+        return ints_to_limbs(self.static_columns[k], L)
 
     @cached_property
     def static_device(self) -> jnp.ndarray:
@@ -302,42 +325,73 @@ class ProvingContext(_ContextBase):
         return self._trace
 
     def generate_execution_trace_std(self) -> np.ndarray:
-        """Host-side trace as standard-form limbs, np.uint32 [R, L, T] —
-        the upload format consumed by the fused prover (protocol/fused.py),
-        and the source for host-side assertion validation (no device sync)."""
+        """Host-side trace as standard-form limbs, np.uint32 [R, L, T]."""
         if self._trace_std is not None:
             return self._trace_std
-        std = self._generate_trace_native()
-        if std is None:
-            std = self._generate_trace_pyhost()
-        self._trace_std = std
-        return std
+        self._trace_std = self.generate_execution_trace_u16().astype(np.uint32)
+        return self._trace_std
+
+    def generate_execution_trace_u16(self) -> np.ndarray:
+        """Host-side trace as standard-form 16-bit limbs, np.uint16
+        [R, L, T] — the fused prover's device upload format
+        (protocol/fused.py _put16): the native generator emits this layout
+        directly, so the hot path has zero host-side re-layout between the
+        recurrence and the transfer."""
+        if self._trace_u16 is not None:
+            return self._trace_u16
+        u16 = self._generate_trace_native()
+        if u16 is None:
+            u16 = self._generate_trace_pyhost().astype(np.uint16)
+        self._trace_u16 = u16
+        return u16
 
     def trace_value_host(self, register: int, step: int) -> Optional[int]:
         """Standard-form python int at (register, step) from the host trace,
         or None if only a device trace exists."""
-        if self._trace_std is None:
+        if self._trace_u16 is None and self._trace_std is None:
             return None
         from ..field.limbs import limbs_to_ints
-        col = self._trace_std[register, :, step:step + 1]
+        src = self._trace_std if self._trace_std is not None else self._trace_u16
+        col = src[register, :, step:step + 1].astype(np.uint32)
         return limbs_to_ints(col)[0]
 
+    def _statics_struct(self):
+        """Pattern-compressed static columns for the native generator:
+        per register (values, span, start_pos) with column[t] =
+        values[((t + start_pos) mod (len*span)) / span].  None when some
+        register type has no compressed form (then full columns are used)."""
+        T = self.trace_length
+        out = []
+        for k, reg in enumerate(self.schema.static_registers):
+            pattern = self._cyclic_pattern(k)
+            if pattern is not None:
+                out.append((pattern, 1, 0))
+            elif isinstance(reg, InputRegister):
+                span = self.input_spans[k]
+                # col[t] = expanded[(t - shift) mod T], expanded=repeat(values, span)
+                out.append((self.input_values[k], span,
+                            (-reg.shift) % T if reg.shift else 0))
+            else:
+                return None
+        return out
+
     def _generate_trace_native(self) -> Optional[np.ndarray]:
-        """Code-generated C++ recurrence (genstark_tpu.native); None on any
-        toolchain/codegen failure so the Python interpreter takes over."""
+        """Code-generated C++ recurrence (genstark_tpu.native): returns the
+        u16 [R, L, T] upload layout, or None on any toolchain/codegen
+        failure so the Python interpreter takes over."""
         schema = self.schema
         try:
             from ..native import native_trace_fn
             run = native_trace_fn(schema.init, schema.transition,
                                   self.field.modulus, len(self.seed),
                                   len(schema.static_registers))
-            out = run(self.static_columns, self.seed, self.trace_length)
+            struct = self._statics_struct()
+            cols = self.static_columns if struct is None else None
+            out = run(cols, self.seed, self.trace_length,
+                      statics_struct=struct)
         except Exception:
             return None
-        L = self.field.device.L
-        # u64 limbs -> 16-bit limbs: LE view, truncate to the device limb count
-        u16 = out.view(np.uint16)[..., :L]                  # [T, R, L]
-        return np.ascontiguousarray(u16.transpose(1, 2, 0)).astype(np.uint32)
+        return out[:, :self.field.device.L, :]
 
     def _generate_trace_pyhost(self) -> np.ndarray:
         from .ir import compile_host_fn

@@ -14,13 +14,21 @@ functions (consumed at /root/reference/lib/Stark.ts:97): the recurrence is
 serial over tiny state, so it runs at native host speed while every batched
 domain-wide stage stays on the TPU.
 
-Interface (all values standard-form little-endian u64 limbs, ``LC`` per
-element):
+Interface: static registers enter PATTERN-COMPRESSED — each register k is
+(values[ell_k] standard-form u64 limbs, span_k, start_pos_k) with
+column[t] = values[((t + start_pos) mod (ell*span)) / span] — so the wrapper
+never materializes full columns (a cyclic constant register at 2^20 steps is
+a few dozen ints, not a million) and the C++ converts each pattern value to
+Montgomery ONCE instead of per step.  The trace is emitted directly as
+uint16[R][L16][T] standard-form 16-bit limbs — exactly the fused prover's
+u16 upload layout (protocol/fused.py _put16), so the host does zero
+post-processing between the recurrence and the device transfer:
 
-    int genstark_trace(const uint64_t* statics,  // [T][K][LC]
+    int genstark_trace(const uint64_t* patterns, // [sum ell_k][LC] std form
+                       const uint64_t* meta,     // [K][3]: ell, span, start
                        const uint64_t* seed,     // [S][LC]
                        uint64_t T,
-                       uint64_t* out)            // [T][R][LC]
+                       uint16_t* out)            // [R][L16][T]
 """
 
 from __future__ import annotations
@@ -144,6 +152,7 @@ def _emit_exprs(exprs: Sequence[Expr], p: int, lc: int, *, seed_count: int,
 def _generate_source(init: Sequence[Expr], transition: Sequence[Expr],
                      p: int, seed_count: int, n_static: int) -> str:
     lc = max(1, (p.bit_length() + 63) // 64)
+    l16 = 2 * max(1, (p.bit_length() + 31) // 32)   # device 16-bit limb count
     r2 = (1 << (128 * lc)) % p
     one_m = (1 << (64 * lc)) % p
     n0p = (-pow(p, -1, 1 << 64)) % (1 << 64)
@@ -158,10 +167,11 @@ def _generate_source(init: Sequence[Expr], transition: Sequence[Expr],
 
 namespace {{
 
-constexpr int LC = {lc};
-constexpr int R  = {R};
-constexpr int K  = {n_static};
-constexpr int S  = {seed_count};
+constexpr int LC  = {lc};
+constexpr int L16 = {l16};   // device 16-bit limbs per element (<= 4*LC)
+constexpr int R   = {R};
+constexpr int K   = {n_static};
+constexpr int S   = {seed_count};
 
 struct fe {{ uint64_t v[LC]; }};
 
@@ -269,40 +279,76 @@ static void step_fn(const fe* cur, const fe* st, fe* out) {{
 {step_body}
 }}
 
+static inline void emit_row(uint16_t* out, uint64_t t, uint64_t T,
+                            const fe* cur) {{
+  // out[r][i][t] = 16-bit limb i of standard-form register r: L16 strided
+  // streaming stores per register — the fused prover's u16 upload layout,
+  // so the wrapper hands the buffer straight to device_put
+  for (int r = 0; r < R; ++r) {{
+    fe s = from_mont(cur[r]);
+    uint16_t* base = out + (uint64_t)r * L16 * T + t;
+    for (int i = 0; i < L16; ++i)
+      base[(uint64_t)i * T] = (uint16_t)(s.v[i / 4] >> (16 * (i % 4)));
+  }}
+}}
+
+// Pattern-compressed static register stream: column[t] =
+// values[((t + start) mod (ell*span)) / span], with every pattern value
+// converted to Montgomery exactly once.
+struct StaticStream {{
+  const fe* vals;      // [ell], Montgomery
+  uint64_t ell, span, idx, scnt;
+  inline fe get() const {{ return vals[idx]; }}
+  inline void advance() {{
+    if (++scnt == span) {{
+      scnt = 0;
+      if (++idx == ell) idx = 0;
+    }}
+  }}
+}};
+
 }}  // namespace
 
-extern "C" int genstark_trace(const uint64_t* statics, const uint64_t* seed,
-                              uint64_t T, uint64_t* out) {{
+extern "C" int genstark_trace(const uint64_t* patterns, const uint64_t* meta,
+                              const uint64_t* seed, uint64_t T,
+                              uint16_t* out) {{
   fe sd[S > 0 ? S : 1];
   for (int i = 0; i < S; ++i) {{
     std::memcpy(sd[i].v, seed + i * LC, sizeof(fe));
     sd[i] = to_mont(sd[i]);
   }}
+  uint64_t total = 0;
+  for (int k = 0; k < K; ++k) total += meta[3 * k];
+  fe* pat = new fe[total > 0 ? total : 1];
+  for (uint64_t j = 0; j < total; ++j) {{
+    std::memcpy(pat[j].v, patterns + j * LC, sizeof(fe));
+    pat[j] = to_mont(pat[j]);
+  }}
+  StaticStream ss[K > 0 ? K : 1];
+  uint64_t off = 0;
+  for (int k = 0; k < K; ++k) {{
+    uint64_t ell = meta[3 * k], span = meta[3 * k + 1], start = meta[3 * k + 2];
+    ss[k] = StaticStream{{pat + off, ell, span,
+                          (start / span) % ell, start % span}};
+    off += ell;
+  }}
   fe cur[R], nxt[R];
   fe st[K > 0 ? K : 1];
-  for (int k = 0; k < K; ++k) {{
-    std::memcpy(st[k].v, statics + (0 * K + k) * LC, sizeof(fe));
-    st[k] = to_mont(st[k]);
-  }}
+  for (int k = 0; k < K; ++k) st[k] = ss[k].get();
   fe zero_regs[R];
   for (int r = 0; r < R; ++r) zero_regs[r] = FE_ZERO;
   init_fn(zero_regs, st, sd, cur);
-  for (int r = 0; r < R; ++r) {{
-    fe s = from_mont(cur[r]);
-    std::memcpy(out + (0 * (uint64_t)R + r) * LC, s.v, sizeof(fe));
-  }}
+  emit_row(out, 0, T, cur);
   for (uint64_t t = 0; t + 1 < T; ++t) {{
     step_fn(cur, st, nxt);
     for (int k = 0; k < K; ++k) {{
-      std::memcpy(st[k].v, statics + ((t + 1) * K + k) * LC, sizeof(fe));
-      st[k] = to_mont(st[k]);
+      ss[k].advance();
+      st[k] = ss[k].get();
     }}
-    for (int r = 0; r < R; ++r) {{
-      cur[r] = nxt[r];
-      fe s = from_mont(cur[r]);
-      std::memcpy(out + ((t + 1) * (uint64_t)R + r) * LC, s.v, sizeof(fe));
-    }}
+    for (int r = 0; r < R; ++r) cur[r] = nxt[r];
+    emit_row(out, t + 1, T, cur);
   }}
+  delete[] pat;
   return 0;
 }}
 """
@@ -316,11 +362,13 @@ def _compile(source: str) -> str:
     so_path = os.path.join(_CACHE_DIR, f"trace_{tag}.so")
     if os.path.exists(so_path):
         return so_path
-    src_path = os.path.join(_CACHE_DIR, f"trace_{tag}.cpp")
+    src_path = os.path.join(_CACHE_DIR, f"trace_{tag}.{os.getpid()}.cpp")
     with open(src_path, "w") as fh:
         fh.write(source)
-    tmp = so_path + ".tmp"
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, src_path]
+    # per-pid temp: concurrent test workers may compile the same source, and
+    # a shared temp path would interleave two g++ writes into one corrupt .so
+    tmp = f"{so_path}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src_path]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except (OSError, subprocess.SubprocessError) as e:
@@ -330,14 +378,24 @@ def _compile(source: str) -> str:
     return so_path
 
 
+def _ints_to_u64_limbs(values: Sequence[int], lc: int) -> np.ndarray:
+    """[N, lc] u64 little-endian limbs of standard-form ints."""
+    raw = b"".join(int(v).to_bytes(8 * lc, "little") for v in values)
+    return np.frombuffer(raw, dtype="<u8").reshape(len(values), lc) \
+        .astype(np.uint64)
+
+
 def native_trace_fn(init: Sequence[Expr], transition: Sequence[Expr], p: int,
                     seed_count: int, n_static: int):
     """Build (or load from cache) the native trace function for one schema.
 
-    Returns ``run(static_cols, seed, T) -> np.uint64[T, R, LC]`` where
-    static_cols is a list of K length-T python-int columns and seed a list of
-    ints (both standard form).  Raises NativeUnavailable when codegen or
-    compilation is impossible.
+    Returns ``run(static_cols, seed, T, statics_struct=None) ->
+    np.uint16[R, L16, T]`` — standard-form 16-bit limbs in the fused
+    prover's upload layout.  ``statics_struct`` is the pattern-compressed
+    form: per register a (values, span, start_pos) triple with
+    column[t] = values[((t + start_pos) mod (len*span)) / span]; when None,
+    ``static_cols`` full columns are compressed trivially (ell=T, span=1).
+    Raises NativeUnavailable when codegen or compilation is impossible.
     """
     source = _generate_source(init, transition, p, seed_count, n_static)
     so_path = _compile(source)
@@ -345,30 +403,33 @@ def native_trace_fn(init: Sequence[Expr], transition: Sequence[Expr], p: int,
     fn = lib.genstark_trace
     fn.restype = ctypes.c_int
     fn.argtypes = [ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
-                   ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64)]
+                   ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
+                   ctypes.POINTER(ctypes.c_uint16)]
     lc = max(1, (p.bit_length() + 63) // 64)
+    l16 = 2 * max(1, (p.bit_length() + 31) // 32)
     R = len(transition)
 
-    def run(static_cols: Sequence[Sequence[int]], seed: Sequence[int], T: int):
-        K = len(static_cols)
-        statics = np.zeros((T, max(K, 1), lc), dtype=np.uint64)
-        for k, col in enumerate(static_cols):
-            arr = np.empty((T, lc), dtype=np.uint64)
-            for i in range(lc):
-                shift = 64 * i
-                arr[:, i] = np.fromiter(
-                    ((v >> shift) & 0xFFFFFFFFFFFFFFFF for v in col),
-                    dtype=np.uint64, count=T)
-            statics[:, k, :] = arr
+    def run(static_cols, seed: Sequence[int], T: int, statics_struct=None):
+        if statics_struct is None:
+            statics_struct = [(list(col), 1, 0) for col in (static_cols or [])]
+        K = len(statics_struct)
+        assert K == n_static, (K, n_static)
+        meta = np.zeros((max(K, 1), 3), dtype=np.uint64)
+        pats = []
+        for k, (vals, span, start) in enumerate(statics_struct):
+            meta[k] = (len(vals), span, start)
+            pats.append(_ints_to_u64_limbs(vals, lc))
+        patterns = (np.concatenate(pats, axis=0) if pats
+                    else np.zeros((1, lc), dtype=np.uint64))
         seed_arr = np.zeros((max(seed_count, 1), lc), dtype=np.uint64)
-        for s, v in enumerate(seed):
-            for i in range(lc):
-                seed_arr[s, i] = (int(v) >> (64 * i)) & 0xFFFFFFFFFFFFFFFF
-        out = np.zeros((T, R, lc), dtype=np.uint64)
-        rc = fn(statics.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        if seed:
+            seed_arr[:len(seed)] = _ints_to_u64_limbs(seed, lc)
+        out = np.zeros((R, l16, T), dtype=np.uint16)
+        rc = fn(patterns.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                meta.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
                 seed_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
                 ctypes.c_uint64(T),
-                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
         if rc != 0:
             raise NativeUnavailable(f"native trace returned {rc}")
         return out

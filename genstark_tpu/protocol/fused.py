@@ -356,7 +356,9 @@ class FusedProver:
         moves host->device bytes at ~40 MB/s, so halving the trace/static
         upload (8 MB at 2^17 steps, 64 MB at 2^20) takes ~100 ms off every
         proof; the stages widen back to u32 in-program (one free cast)."""
-        return self._put(arr.astype(np.uint16))
+        if arr.dtype != np.uint16:
+            arr = arr.astype(np.uint16)
+        return self._put(arr)
 
     def _slice_tables(self, tpack):
         """Lazy view of the packed parameter, keyed by spec name: tables are
@@ -1055,8 +1057,7 @@ class FusedProver:
         order is recorded in self._static_plan at first use."""
         context = self.context
         L = self.field.device.L
-        cols = context.static_columns
-        K = len(cols)
+        K = len(context.schema.static_registers)
         T = context.trace_length
         plan = []
         full, cycs = [], []
@@ -1068,7 +1069,9 @@ class FusedProver:
                 cycs.append(ints_to_limbs(pattern, L))
             else:
                 plan.append("full")
-                full.append(ints_to_limbs(cols[k], L))
+                # structural build: distinct values converted once, numpy
+                # repeat/roll — never a per-element big-int pass over T
+                full.append(context.static_column_limbs(k, L))
         self._static_plan = tuple(plan)
         full_arr = (np.stack(full) if full
                     else np.zeros((0, L, T), dtype=np.uint32))

@@ -112,7 +112,9 @@ class Stark:
         context = self.air.init_proving_context(inputs, seed)
         log("Set up evaluation context")
         try:
-            trace_std = context.generate_execution_trace_std()   # np [R, L, T]
+            # u16 standard-form limbs [R, L, T] — the native generator's
+            # output IS the device upload layout (no host re-layout)
+            trace_std = context.generate_execution_trace_u16()
             self._validate_assertions_host(context, trace_std, assertions)
         except StarkError:
             raise
