@@ -87,13 +87,15 @@ def build_tree_flat(h: "Hash", leaves: jnp.ndarray, n: int) -> jnp.ndarray:
     return out
 
 
-_EXACT_LEVELS = 4    # levels built at exact size (the hybrid schedule's U)
+_EXACT_LEVELS = 7    # levels built at exact size (the hybrid schedule's U)
 
 
 @lru_cache(maxsize=None)
 def _exact_levels() -> int:
-    """The hybrid schedule's U, per backend: 4 on TPU (exact top levels
-    hold ~94% of the hash work — the windowed tail would waste real time);
+    """The hybrid schedule's U, per backend: 7 on TPU (the top 7 levels
+    hold ~99.2% of the hash work; at U=4 the fixed-window tail re-hashed
+    ~10x the true remaining rows — measured 44 ms of `while` time on the
+    2^24-leaf evaluation tree alone);
     1 on CPU, where tests are COMPILE-bound and every exact level is one
     more unrolled compression graph per tree (the windowed tail re-hashes a
     fixed n/4 window per level, which only costs negligible toy-size

@@ -181,26 +181,67 @@ def _mxu_min_n() -> int:
         return 1 << 13
 
 
-_MXU_LEVEL_BITS = 7          # level size 128: best measured bf/s (MXU_r04)
+# Measured v5e full-path level rates (T int8-MACs/s, encode+transpose+kernel
+# included) by level size m (MXU_r04 + this round's fits); sub-128 values
+# extrapolate the small-m falloff.  OVH is the measured per-point per-level
+# fixed cost (encode/transpose/epilogue passes): fit from the 2^24 ladder
+# (3x256: 63 ms, 4x64: 88 ms).
+_MXU_RATE = {2: 1.0, 4: 2.0, 8: 4.0, 16: 8.0, 32: 13.0, 64: 20.0,
+             128: 58.9, 256: 85.1, 512: 105.1, 1024: 114.0, 2048: 118.0}
+_MXU_LEVEL_OVH = 0.375e-9
+_MXU_MAX_M = 2048            # s32-accumulator bound (ntt/mxu.py MAX_M)
 
 
+@lru_cache(maxsize=None)
+def _mxu_level_bits():
+    """Optional GENSTARK_MXU_BITS override: force level count
+    ceil(bits/this) instead of the cost-model choice (tuning knob)."""
+    import os
+    v = os.environ.get("GENSTARK_MXU_BITS")
+    if not v:
+        return None
+    try:
+        return int(v)
+    except ValueError:
+        return None
+
+
+def _equal_split(bits: int, q: int):
+    base, extra = divmod(bits, q)
+    return [1 << (base + (1 if i < extra else 0)) for i in range(q)]
+
+
+@lru_cache(maxsize=None)
 def mxu_levels(n: int):
     """Level sizes for the multi-level MXU decomposition of an n-point
     transform — EVERY level is a digit-matmul DFT on the MXU (the kernel
     accepts any power-of-two m: whole-array blocks are legal below the
     128-lane tile), so no VPU residual transform exists.
 
-    The bit count splits into ceil(bits/7) levels as EQUALLY as possible
-    (sizes within 2x of each other) rather than [128, ..., tiny]: total MAC
-    count scales with sum(m_i), and a very small trailing level (e.g. m=8
-    at n=2^24) degenerates into tens of thousands of overhead-dominated
-    grid steps.  None when n is too small."""
+    The bit count splits into q near-equal levels with q chosen by a
+    measured cost model: per point, a level of size m costs
+    m * D^2 / rate(m) of MAC time plus a fixed overhead (digit encode,
+    int8 transpose, epilogue).  Fewer, larger levels spend more MACs but
+    fewer passes — on v5e the model picks 3x256 over 4x64 at 2^24
+    (measured 63 vs 88 ms).  None when n is too small."""
     bits = n.bit_length() - 1
-    q = -(-bits // _MXU_LEVEL_BITS)
-    if q < 1 or bits < _MXU_LEVEL_BITS:
+    if bits < 7:                 # < 128 points: not worth a digit matmul
         return None
-    base, extra = divmod(bits, q)
-    return [1 << (base + (1 if i < extra else 0)) for i in range(q)]
+    lb = _mxu_level_bits()
+    if lb is not None:
+        return _equal_split(bits, max(1, -(-bits // lb)))
+    from .mxu import N_DIAGS
+    d2 = ((N_DIAGS + 1) // 2) ** 2
+    best, best_cost = None, None
+    for q in range(1, bits + 1):
+        levels = _equal_split(bits, q)
+        if levels[0] > _MXU_MAX_M:
+            continue
+        cost = q * _MXU_LEVEL_OVH + sum(
+            m * d2 / (_MXU_RATE[m] * 1e12) for m in levels)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = levels, cost
+    return best
 
 
 def mxu_applicable(field: PrimeField, n: int) -> bool:

@@ -151,6 +151,12 @@ class FusedProver:
         # chunk size for cmap1 (see _helpers): elementwise Montgomery ops on
         # arrays longer than 2 chunks run chunk-at-a-time through lax.map
         self._chunk_elems = int(os.environ.get("GENSTARK_CHUNK_ELEMS", 1 << 21))
+        # with Pallas tile kernels active, chunking is skipped entirely up to
+        # this domain size (the kernels bound their own temps; the lax.map
+        # wrapper costs real slice/update traffic) — above it the pointwise
+        # tail holds ~10 full-domain [L, Ne] buffers (~1 GB each at 2^25),
+        # so the map returns as a memory guard
+        self._unchunk_ne = int(os.environ.get("GENSTARK_UNCHUNK_NE", 1 << 24))
         # Split mode COMPOSES with mesh mode: the flagship multi-chip config
         # (2^20 steps -> Ne = 2^24 on a few chips) needs both the stage
         # boundaries (so dead full-domain intermediates are freed) and the
@@ -445,12 +451,22 @@ class FusedProver:
             values themselves are unchanged (pure elementwise math).
             fn must return one array shaped like its (broadcast) inputs.
 
+            When the elementwise ops route to the Pallas tile kernels
+            (field/pallas_ops.py) the temp-bounding is already done inside
+            the kernel, and the lax.map wrapper only adds dynamic-slice /
+            update-slice traffic around every op (measured ~150 ms of
+            `while` overhead in the 2^20 lcomb stage) — so the map is
+            skipped up to the footprint cap (_unchunk_ne).
+
             Under a mesh the per-chunk trailing axis keeps the domain
             sharding (each sequential chunk is itself spread over the
             devices), so chunking and sharding compose: per-device temp
             footprint is chunk/D."""
             n = arrays[0].shape[-1]
             chunks = n // self._chunk_elems
+            if mesh is None and field.device._use_pallas_ops() and \
+                    n <= self._unchunk_ne:
+                return fn(*arrays)
             if chunks < 2 or (mesh is not None and
                               (n // chunks) % n_dev != 0):
                 return fn(*arrays)
@@ -577,8 +593,14 @@ class FusedProver:
             else i_polys_std
 
         chunks = Ne // self._chunk_elems
+        if self.mesh is None and dev._use_pallas_ops() and \
+                Ne <= self._unchunk_ne:
+            # Pallas tile kernels bound their own temps — run the pointwise
+            # tail as ONE full-domain pass (chunks=1) instead of a lax.map
+            # (the map's per-chunk dynamic slices cost ~150 ms at 2^24)
+            chunks = 1
         fac = self._factored(Ne)     # dom_fwd/incr have length Ne
-        chunk_ok = chunks >= 2 and fac is not None
+        chunk_ok = chunks >= 1 and fac is not None
         if chunk_ok:
             s, nj = fac
             M = Ne // chunks
@@ -756,6 +778,9 @@ class FusedProver:
                 ps = ps + [dev.mont_mul(v, incr_c) for v in ps[:V]]
             return _sd(dev._add(c_c, dev.combine_many_mont(ps, l_coeffs)))
 
+        if chunks == 1:
+            # single full-domain pass: no lax.map, no per-chunk slicing
+            return _sd(body(tuple(x[0] for x in xs)))
         out = jax.lax.map(body, xs)                              # [chunks, L, M]
         return _sd(jnp.moveaxis(out, 0, -2).reshape(L, Ne))
 
