@@ -130,7 +130,8 @@ def can_distribute(n: int, n_devices: int) -> bool:
 
 
 def dist_ntt_core(field: PrimeField, a: jnp.ndarray, n: int,
-                  w_table: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+                  w_table: jnp.ndarray, mesh: Mesh,
+                  mxu_local=None) -> jnp.ndarray:
     """Traceable 4-step NTT over `mesh` — natural order in and out.
 
     a: [..., L, n] Montgomery-form values; w_table: [L, n/2] half-table of
@@ -145,6 +146,12 @@ def dist_ntt_core(field: PrimeField, a: jnp.ndarray, n: int,
     NTTs.  All local twiddle tables are derived from `w_table` by
     reshape-picks (w^(n/m) powers are every (n/m)-th entry), so no extra
     tables are materialized.
+
+    mxu_local: optional (bundle_n1, bundle_n2) pair of MXU multi-level
+    table bundles (ntt.MxuPlan.bundle(), scale=1, roots w^n2 / w^n1) — the
+    shard-local transforms then run as digit-matmul DFT levels on the MXU
+    instead of VPU butterflies.  Bit-identical either way, so proof bytes
+    do not depend on the choice.
     """
     from jax import shard_map
 
@@ -163,30 +170,41 @@ def dist_ntt_core(field: PrimeField, a: jnp.ndarray, n: int,
     w2t = w_table.reshape(L, n2 // 2, n1)[:, :, 0]          # root w^n1, size n2
     base = jax.lax.slice(w_table, (0, 0), (L, n2))          # w^(i2), i2 < n2
 
-    def body(blk, base_blk, w1, w2):
+    mxu_leaves, mxu_tree = jax.tree.flatten(mxu_local)
+
+    def body(blk, base_blk, w1, w2, *mxu_args):
         # blk: [L, B, n1, n2/D]; base_blk: [L, n2/D]; w1/w2 replicated tables
+        b1 = b2 = None
+        if mxu_args:
+            b1, b2 = jax.tree.unflatten(mxu_tree, mxu_args)
+
+        def local(x, m, w, bundle):                         # x: [..., L, m]
+            if bundle is not None:
+                return ntt_mod.mxu_transform_core(field, x, m, bundle)
+            return ntt_mod.ntt_core_table(field, x, m, w)
+
         x = jnp.transpose(blk, (1, 3, 0, 2))                # [B, n2/D, L, n1]
-        x = ntt_mod.ntt_core_table(field, x, n1, w1)
+        x = local(x, n1, w1, b1)
         blk = jnp.transpose(x, (2, 0, 3, 1))                # [L, B, n1, n2/D]
         tw = _vector_power_series(dev, base_blk, n1)        # [L, n1, n2/D]
         blk = dev.mont_mul(blk, tw[:, None])
         blk = jax.lax.all_to_all(blk, axis, split_axis=2, concat_axis=3,
                                  tiled=True)                # [L, B, n1/D, n2]
         x = jnp.transpose(blk, (1, 2, 0, 3))                # [B, n1/D, L, n2]
-        x = ntt_mod.ntt_core_table(field, x, n2, w2)
+        x = local(x, n2, w2, b2)
         return jnp.transpose(x, (2, 0, 1, 3))               # [L, B, n1/D, n2]
 
     sharded = shard_map(
         body, mesh=mesh,
         in_specs=(P(None, None, None, axis), P(None, axis),
-                  P(None, None), P(None, None)),
+                  P(None, None), P(None, None)) + (P(),) * len(mxu_leaves),
         out_specs=P(None, None, axis, None),
         check_vma=False)   # see above: pallas bodies lack vma annotations
 
     batch_shape = a.shape[:-2]
     x = a.reshape((-1, L, n)) if batch_shape else a[None]
     x = jnp.swapaxes(x, 0, 1).reshape(L, -1, n1, n2)        # [L, B, n1, n2]
-    out = sharded(x, base, w1t, w2t)                        # D[k1, k2]
+    out = sharded(x, base, w1t, w2t, *mxu_leaves)           # D[k1, k2]
     # natural order: X[k1 + n1*k2] -> transpose (k2, k1) then flatten
     nat = jnp.transpose(out, (1, 0, 3, 2)).reshape(-1, L, n)  # [B, L, n]
     return nat.reshape(batch_shape + (L, n)) if batch_shape else nat[0]

@@ -95,6 +95,21 @@ class _LazyTables:
         return out
 
 
+def _mx_single(mx, key):
+    """Single-chip MXU bundle for `key`, or None (mesh entries are tagged
+    {"dist": (b1, b2)} and are NOT plug-compatible here — their scale is
+    not folded and they describe the 4-step locals, not the whole size)."""
+    b = mx.get(key) if mx else None
+    return None if b is None or "dist" in b else b
+
+
+def _mx_dist(mx, key):
+    """(bundle_n1, bundle_n2) pair for the distributed 4-step locals of
+    `key`, or None."""
+    b = mx.get(key) if mx else None
+    return b["dist"] if b is not None and "dist" in b else None
+
+
 def _to_mont_batch(dev, arr_std: jnp.ndarray) -> jnp.ndarray:
     """[B, L, N] standard-form -> Montgomery (limb axis moved for dev ops)."""
     moved = jnp.moveaxis(arr_std, 1, 0)            # [L, B, N]
@@ -157,6 +172,22 @@ class FusedProver:
         # tail holds ~10 full-domain [L, Ne] buffers (~1 GB each at 2^25),
         # so the map returns as a memory guard
         self._unchunk_ne = int(os.environ.get("GENSTARK_UNCHUNK_NE", 1 << 24))
+        # Checkpoint trace upload: the tunnelled backend moves host->device
+        # at ~40 MB/s, so the full u16 trace (16 MB at 2^20 steps) costs
+        # ~0.4 s — the single largest item left in the proof after the
+        # device stages were tuned.  Instead the host uploads every K-th
+        # state ([R, L, n_seg], tens of KB) and stage A re-runs the
+        # transition K-1 steps per segment, vectorized over the n_seg
+        # lanes (one lax.scan; same IR evaluator the constraint stage
+        # uses, so values are bit-identical).  GENSTARK_TRACE_SCAN=0/1
+        # forces off/on (default: TPU only, trace >= 2^18 steps).
+        v = os.environ.get("GENSTARK_TRACE_SCAN")
+        T = context.trace_length
+        scan_on = (v != "0" and self.mesh is None and T >= int(
+            os.environ.get("GENSTARK_TRACE_SCAN_MIN", 1 << 18))
+            and (v == "1" or jax.default_backend() == "tpu"))
+        self._trace_scan_nseg = min(T // 2, int(os.environ.get(
+            "GENSTARK_TRACE_SCAN_SEG", 2048))) if scan_on else None
         # Split mode COMPOSES with mesh mode: the flagship multi-chip config
         # (2^20 steps -> Ne = 2^24 on a few chips) needs both the stage
         # boundaries (so dead full-domain intermediates are freed) and the
@@ -319,11 +350,13 @@ class FusedProver:
     def _get_mxund(self):
         """MXU multi-level NTT table bundles per transform key (device
         arrays, passed to the stage programs as PARAMETERS like the table
-        pack).  Inverse keys fold their n^-1 scale into the level-1 digit
-        matrix, so the consuming stage skips its scaling pass.  Empty dict
+        pack).  Single-chip: one bundle per whole transform size, inverse
+        keys fold their n^-1 scale into the level-1 digit matrix so the
+        consuming stage skips its scaling pass.  Mesh mode: a
+        {"dist": (bundle_n1, bundle_n2)} pair per key covering the 4-step
+        LOCAL transforms inside shard_map (scale=1 — the external n^-1
+        scaling stays, exactly as in the non-MXU dist path).  Empty dict
         wherever the MXU path is off (CPU tests, small fields)."""
-        if self.mesh is not None:
-            return {}             # mesh mode: GSPMD/dist paths only (above)
         if self._mxund_cache is None:
             from .. import ntt as _ntt
             field = self.field
@@ -341,11 +374,30 @@ class FusedProver:
                              f.inv(Nc % p)),
             }
             out = {}
-            for key, (size, root, scale) in specs.items():
-                if _ntt.mxu_applicable(field, size):
-                    bundle = _ntt.get_mxu_plan(field, size, root,
-                                               scale).bundle()
-                    out[key] = jax.tree.map(self._put, bundle)
+            if self.mesh is not None:
+                from ..parallel.ntt_dist import can_distribute
+                n_dev = self.mesh.devices.size
+                for key, (size, root, _) in specs.items():
+                    if not (_ntt._use_mxu() and field.element_size == 16
+                            and size >= _ntt._mxu_min_n()
+                            and can_distribute(size, n_dev)):
+                        continue
+                    n1 = 1 << ((size.bit_length() - 1) // 2)
+                    n2 = size // n1
+                    if _ntt.mxu_levels(n1) is None or \
+                            _ntt.mxu_levels(n2) is None:
+                        continue
+                    pair = tuple(
+                        jax.tree.map(self._put, _ntt.get_mxu_plan(
+                            field, m, pow(root, size // m, p), 1).bundle())
+                        for m in (n1, n2))
+                    out[key] = {"dist": pair}
+            else:
+                for key, (size, root, scale) in specs.items():
+                    if _ntt.mxu_applicable(field, size):
+                        bundle = _ntt.get_mxu_plan(field, size, root,
+                                                   scale).bundle()
+                        out[key] = jax.tree.map(self._put, bundle)
             self._mxund_cache = out
         return self._mxund_cache
 
@@ -384,11 +436,10 @@ class FusedProver:
         f = field.host
         T = context.trace_length
         tb = self._slice_tables(tpack)
-        # Mesh mode stays wholly on the GSPMD/dist transform paths: the MXU
-        # bundles are single-chip for now (Pallas calls under automatic
-        # partitioning would need explicit sharding rules, and mixing them
-        # with the dist path would double-apply or skip the folded n^-1).
-        mx = {} if self.mesh is not None else (mxund or {})
+        # mx entries: single-chip whole-transform bundles, or (mesh mode)
+        # {"dist": (b1, b2)} pairs consumed by the 4-step locals inside
+        # shard_map — see _get_mxund and _mx_single/_mx_dist
+        mx = mxund or {}
 
         mesh = self.mesh
         if mesh is not None:
@@ -420,8 +471,9 @@ class FusedProver:
 
         def transform(x, n, w_key):
             if mesh is not None and can_distribute(n, n_dev):
-                return shard_dom(dist_ntt_core(field, x, n, tb[w_key], mesh))
-            bundle = mx.get(w_key)
+                return shard_dom(dist_ntt_core(field, x, n, tb[w_key], mesh,
+                                               mxu_local=_mx_dist(mx, w_key)))
+            bundle = _mx_single(mx, w_key)
             if bundle is not None:
                 return ntt.mxu_transform_core(field, x, n, bundle)
             w_table = tb[w_key]
@@ -432,7 +484,7 @@ class FusedProver:
 
         def intt_t(x):
             out = transform(x, T, "w_T_inv")
-            if "w_T_inv" in mx:
+            if _mx_single(mx, "w_T_inv") is not None:
                 return out            # n^-1 folded into the MXU digit matrix
             n_inv = dev.const(f.inv(T % field.modulus), shape=(1,))
             moved = jnp.moveaxis(out, -2, 0) if out.ndim > 2 else out
@@ -480,6 +532,47 @@ class FusedProver:
 
         return tb, shard_dom, pin_rows_minor, intt_t, lde, cmap1
 
+    def _scan_trace(self, ckpt: jnp.ndarray, statics) -> jnp.ndarray:
+        """Rebuild the full Montgomery trace [R, L, T] from checkpoint
+        states ckpt [R, L, n_seg] (the state at step s*K for each segment,
+        K = T / n_seg) by running the transition K-1 steps per segment —
+        ONE lax.scan whose per-step state is [R, L, n_seg], so the serial
+        recurrence is vectorized across segments.  Uses the same IR
+        evaluator as the constraint stage (air.ir.eval_device), so every
+        value is bit-identical to the host/native trace."""
+        import jax as _jax
+        from ..air.ir import count_nodes, eval_device
+        context = self.context
+        dev = self.field.device
+        schema = context.schema
+        L = dev.L
+        R = schema.trace_width
+        T = context.trace_length
+        n_seg = self._trace_scan_nseg
+        K = T // n_seg
+        Kr = statics.shape[0] if statics is not None else 0
+        if Kr:
+            st = statics.reshape(Kr, L, n_seg, K)
+            xs = jnp.moveaxis(st, 3, 0)[:K - 1]      # statics at steps 0..K-2
+        else:
+            xs = jnp.zeros((K - 1, 0, L, n_seg), dtype=jnp.uint32)
+        seed_env = [dev.const(s, shape=(1,)) for s in context.seed]
+
+        def body(state, st_k):                       # state: [R, L, n_seg]
+            env = {"dev": dev, "ndim": 1,
+                   "trace": [state[r] for r in range(R)],
+                   "static": [st_k[j] for j in range(Kr)],
+                   "seed": seed_env}
+            nxt = jnp.stack([eval_device(e, env, {})
+                             for e in schema.transition])
+            return nxt, nxt
+
+        body_ops = count_nodes(schema.transition)
+        unroll = max(1, min(8, 64 // max(1, body_ops // 8)))
+        _, rows = _jax.lax.scan(body, ckpt, xs, unroll=unroll)
+        all_rows = jnp.concatenate([ckpt[None], rows], axis=0)  # [K, R, L, S]
+        return jnp.transpose(all_rows, (1, 2, 3, 0)).reshape(R, L, T)
+
     def _stage_commit(self, trace_std, statics_parts, tpack, mxund,
                       keep_mont=False):
         """Reference steps 3-4 (/root/reference/lib/Stark.ts:104-119):
@@ -514,8 +607,15 @@ class FusedProver:
         barrier = jax.lax.optimization_barrier if self._split else \
             (lambda x: x)
 
+        # statics first: the checkpoint trace scan consumes them
+        statics_std = self._assemble_statics(statics_parts)
+        K = statics_std.shape[0]
+        statics = _to_mont_batch(dev, statics_std) if K else None
+
         trace_std = trace_std.astype(jnp.uint32)      # u16 upload (see _put16)
-        trace = _to_mont_batch(dev, trace_std)                  # [R, L, T]
+        trace = _to_mont_batch(dev, trace_std)    # [R, L, T] or [R, L, n_seg]
+        if self._trace_scan_nseg:
+            trace = self._scan_trace(trace, statics)            # [R, L, T]
         p_polys = intt_t(trace)
         p_evals = lde(p_polys, Ne, "w_Ne")                      # [R, L, Ne]
         e_vectors_mont = [p_evals[r] for r in range(R)]
@@ -523,10 +623,7 @@ class FusedProver:
         p_polys, e_vectors_std = barrier((p_polys, e_vectors_std))
 
         # static registers: polynomials once, then per-domain evaluations
-        statics_std = self._assemble_statics(statics_parts)
-        K = statics_std.shape[0]
         if K:
-            statics = _to_mont_batch(dev, statics_std)
             static_polys = intt_t(statics)
             for k in self.secret_idx:
                 s_eval = lde(static_polys[k], Ne, "w_Ne")
@@ -621,15 +718,15 @@ class FusedProver:
                                  for r in range(R)])
             s_evals = [cmap1(dev._to_mont, e_std[R + i])
                        for i in range(e_std.shape[0] - R)]
-        mx = {} if self.mesh is not None else (mxund or {})
+        mx = mxund or {}
         c_tables = {
             "domain": tb["dom_fwd"],
-            "nc_inv_w": None if "w_Nc_inv" in mx else tb["w_Nc_inv"],
-            "ne_fwd_w": None if "w_Ne" in mx else tb["w_Ne"],
+            "nc_inv_w": None if _mx_single(mx, "w_Nc_inv") else tb["w_Nc_inv"],
+            "ne_fwd_w": None if _mx_single(mx, "w_Ne") else tb["w_Ne"],
             "nc_inv_panel": tb.get("p4_w_Nc_inv"),
             "ne_fwd_panel": tb.get("p4_w_Ne"),
-            "nc_inv_mxu": mx.get("w_Nc_inv"),
-            "ne_fwd_mxu": mx.get("w_Ne"),
+            "nc_inv_mxu": _mx_single(mx, "w_Nc_inv"),
+            "ne_fwd_mxu": _mx_single(mx, "w_Ne"),
             "incr": tb.get("incr"),
             "adjust": {gi: tb[f"adj{gi}"]
                        for gi, g in enumerate(self.c_poly.constraint_groups)
@@ -699,15 +796,17 @@ class FusedProver:
             for i in group["indexes"]:
                 qa.append(dev.mont_mul(qa[i], powers))
         qc = dev.combine_many_mont(qa, d_coeffs)                 # [L, Nc]
-        mx = {} if self.mesh is not None else (mxund or {})
-        if "w_Nc_inv" in mx:          # Nc^-1 folded into the MXU digits
-            qc_poly = ntt.mxu_transform_core(field, qc, Nc, mx["w_Nc_inv"])
+        mx = mxund or {}
+        b_nc_inv = _mx_single(mx, "w_Nc_inv")
+        if b_nc_inv is not None:      # Nc^-1 folded into the MXU digits
+            qc_poly = ntt.mxu_transform_core(field, qc, Nc, b_nc_inv)
         else:
             qc_poly = ntt.ntt_core_table(field, qc, Nc, tb["w_Nc_inv"])
             qc_poly = dev.mont_mul(qc_poly, dev.const(f.inv(Nc), shape=(1,)))
         qc_pad = jnp.pad(qc_poly, [(0, 0), (0, Ne - Nc)])
-        if "w_Ne" in mx:
-            qe = ntt.mxu_transform_core(field, qc_pad, Ne, mx["w_Ne"])
+        b_ne = _mx_single(mx, "w_Ne")
+        if b_ne is not None:
+            qe = ntt.mxu_transform_core(field, qc_pad, Ne, b_ne)
         else:
             qe = ntt.ntt_core_table(field, qc_pad, Ne, tb["w_Ne"])   # [L, Ne]
 
@@ -718,8 +817,8 @@ class FusedProver:
                               for j in range(len(c["xs"]))]
                              for b, (r, c) in
                              enumerate(self.c_poly.b_poly.polys.items())],
-                    "ne_fwd_w": None if "w_Ne" in mx else tb["w_Ne"],
-                    "ne_fwd_mxu": mx.get("w_Ne")})
+                    "ne_fwd_w": None if _mx_single(mx, "w_Ne") else tb["w_Ne"],
+                    "ne_fwd_mxu": _mx_single(mx, "w_Ne")})
         B = len(b_vectors)
         b_stack = (jnp.stack(b_vectors) if b_vectors
                    else jnp.zeros((0, L, Ne), dtype=jnp.uint32))
@@ -875,7 +974,12 @@ class FusedProver:
 
         # start the trace transfer FIRST: device_put is asynchronous, so the
         # ~40 MB/s tunnel copy (the largest fixed cost at big trace lengths)
-        # overlaps the host-side statics/interpolant prep below
+        # overlaps the host-side statics/interpolant prep below.  In
+        # checkpoint-scan mode only every K-th state ships (see __init__)
+        # and stage A re-derives the rest on device.
+        if self._trace_scan_nseg:
+            K = self.context.trace_length // self._trace_scan_nseg
+            trace_std = np.ascontiguousarray(trace_std[:, :, ::K])
         trace_dev = self._put16(trace_std)
         statics_full, statics_cycs = self._statics_std()
         statics_parts = (self._put16(statics_full),

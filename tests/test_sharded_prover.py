@@ -82,3 +82,71 @@ def test_sharded_proof_bytes_match_single_device_p128(mesh8):
     single = _mimc_proof(128, P128, _OPTS, None)
     sharded = _mimc_proof(128, P128, _OPTS, mesh8)
     assert sharded == single
+
+
+def _force_mxu(monkeypatch, min_n):
+    from genstark_tpu import ntt
+    monkeypatch.setenv("GENSTARK_MXU", "1")
+    monkeypatch.setenv("GENSTARK_MXU_MIN", str(min_n))
+    ntt._use_mxu.cache_clear()
+    ntt._mxu_min_n.cache_clear()
+
+
+def _clear_mxu():
+    from genstark_tpu import ntt
+    ntt._use_mxu.cache_clear()
+    ntt._mxu_min_n.cache_clear()
+
+
+def test_mesh_mxu_dist_bundles_wiring(mesh8, monkeypatch):
+    """The mesh prover builds {"dist": (b1, b2)} MXU bundle pairs for the
+    4-step locals and the sharded commit stage TRACES with them (shapes and
+    shard_map plumbing verified without paying an XLA compile — the full
+    byte-identity run is the @slow test below)."""
+    import jax
+    from genstark_tpu.protocol.fused import _mx_dist
+    _force_mxu(monkeypatch, 1 << 14)
+    try:
+        steps = 1 << 12          # Ne = 2^14 -> 4-step locals 128 x 128
+        stark, constants = make_mimc_stark(
+            steps, modulus=P128, use_input=False, constant_count=64,
+            options=_OPTS)
+        stark.set_mesh(mesh8)
+        field = stark.air.field
+        controls = run_mimc(field, steps, constants, 3)
+        assertions = [Assertion(0, 0, controls[0]),
+                      Assertion(steps - 1, 0, controls[-1])]
+        context = stark.air.init_proving_context([], [3])
+        prover = stark._fused_prover(context, assertions)
+        mx = prover._get_mxund()
+        assert _mx_dist(mx, "w_Ne") is not None, \
+            "mesh mode should build dist MXU bundles for the Ne transform"
+        b1, b2 = _mx_dist(mx, "w_Ne")
+        assert b1["w8s"][0].shape[1:] == (128, 128)
+        trace_std = context.generate_execution_trace_u16()
+        trace_dev = prover._put16(trace_std)
+        statics = prover._statics_std()
+        out = jax.eval_shape(
+            lambda t, s, p, m: prover._stage_commit(t, s, p, m),
+            trace_dev, statics, prover._get_pack(), mx)
+        # (p_polys, static_polys, e_std, e_flat, e_root)
+        assert out[2].shape == (1, field.device.L, context.evaluation_domain_size)
+    finally:
+        _clear_mxu()
+
+
+@pytest.mark.slow
+def test_sharded_mxu_proof_bytes_match_plain(mesh8, monkeypatch):
+    """Full sharded prove with MXU 4-step locals forced on (XLA reference
+    dispatch on the CPU mesh) must be byte-identical to the plain sharded
+    proof — the digit-matmul locals are bit-exact, so the choice of local
+    transform cannot leak into the transcript."""
+    steps = 1 << 12
+    plain = None
+    try:
+        plain = _mimc_proof(steps, P128, _OPTS, mesh8)
+        _force_mxu(monkeypatch, 1 << 14)
+        mxu = _mimc_proof(steps, P128, _OPTS, mesh8)
+    finally:
+        _clear_mxu()
+    assert mxu == plain
