@@ -878,6 +878,19 @@ class FusedProver:
             return _sd(dev._add(c_c, dev.combine_many_mont(ps, l_coeffs)))
 
         if chunks == 1:
+            if mesh is None and dev._use_pallas_ops():
+                # the whole pointwise tail as ONE Pallas kernel (qe, the
+                # boundary and evaluation vectors each read once, every
+                # multiply in VMEM) — ~12 separate full-domain passes
+                # otherwise; bit-identical (tests/test_lcomb_kernel.py)
+                from .lincomb_kernel import lcomb_tail
+                fused = lcomb_tail(
+                    dev, qe, b_stack, e_std, (dom_outer, dom_inner),
+                    incr_parts, inv_series, z.x_at_last_step, b_coeffs,
+                    l_coeffs, b_incremental > 0,
+                    self.l_comb.ps_incremental_degree > 0, ext)
+                if fused is not None:
+                    return fused
             # single full-domain pass: no lax.map, no per-chunk slicing
             return _sd(body(tuple(x[0] for x in xs)))
         out = jax.lax.map(body, xs)                              # [chunks, L, M]
