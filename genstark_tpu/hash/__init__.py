@@ -125,19 +125,23 @@ class Hash:
     def hash_pairs(self, digests: jnp.ndarray) -> jnp.ndarray:
         """One Merkle level: uint32[8, 2N] -> uint32[8, N] (word-major).
 
-        Pair k = leaves 2k (left) and 2k+1 (right): the even/odd lane
-        de-interleave runs as ONE [8, N, 2] -> [2, 8, N] transpose whose
-        result reshapes to the 16-word message (left words rows 0-7, right
-        rows 8-15).  Measured on v5e at 2^24 lanes: 18 ms vs 34 ms for the
-        stride-2 lane-slice formulation (Mosaic rejects strided/lane-split
-        ops in-kernel, so this stays an XLA op).  The explicit transpose
-        also keeps the producer's layout word-major — the direct
-        reshape-pick [8, n, 2] biased XLA toward a word-minor {0,1} layout
-        that tile-pads 8 lanes to 128, a silent 16x HBM blowup."""
+        Pair k = leaves 2k (left) and 2k+1 (right): split even/odd lanes via
+        stride-2 lane slices and stack left over right as a 16-word message.
+
+        Rejected alternatives (measured on v5e): a [8, N, 2] -> [2, 8, N]
+        reshape+transpose looks 2x faster standalone (18 vs 34 ms at 2^24)
+        but XLA implements it through a 16x tile-padded intermediate
+        (minor dim 2 padded to a full tile) — 16 GB at N = 2^24, which
+        OOMs the 2^21-step proof; Mosaic rejects both lane-strided slices
+        and sub-lane reshapes in-kernel, so the de-interleave cannot ride
+        the hash kernel either.  The strided slices stay word-major with
+        no padded temps."""
         n2 = digests.shape[1]
         n = n2 // 2
-        t = jnp.moveaxis(digests.reshape(8, n, 2), -1, 0)          # [2, 8, N]
-        return self.digest_rows(t.reshape(16, n), 64)
+        left = jax.lax.slice(digests, (0, 0), (8, n2 - 1), (1, 2))
+        right = jax.lax.slice(digests, (0, 1), (8, n2), (1, 2))
+        pairs = jnp.concatenate([left, right], axis=0)             # [16, N]
+        return self.digest_rows(pairs, 64)
 
 
 def create_hash(algorithm: str) -> Hash:
