@@ -368,6 +368,10 @@ class ProvingContext(_ContextBase):
                 out.append((pattern, 1, 0))
             elif isinstance(reg, InputRegister):
                 span = self.input_spans[k]
+                if len(self.input_values[k]) * span != T:
+                    # same invariant static_columns/static_column_limbs raise
+                    # on; the native stream would silently wrap at len*span
+                    raise ValueError("input register span does not match trace length")
                 # col[t] = expanded[(t - shift) mod T], expanded=repeat(values, span)
                 out.append((self.input_values[k], span,
                             (-reg.shift) % T if reg.shift else 0))

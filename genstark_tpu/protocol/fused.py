@@ -186,8 +186,17 @@ class FusedProver:
         scan_on = (v != "0" and self.mesh is None and T >= int(
             os.environ.get("GENSTARK_TRACE_SCAN_MIN", 1 << 18))
             and (v == "1" or jax.default_backend() == "tpu"))
-        self._trace_scan_nseg = min(T // 2, int(os.environ.get(
-            "GENSTARK_TRACE_SCAN_SEG", 2048))) if scan_on else None
+        if scan_on:
+            # clamp to the largest power-of-two divisor of T <= the request:
+            # _scan_trace assumes n_seg * K == T exactly (statics reshape
+            # [Kr, L, n_seg, K]); a non-divisor would crash mid-prove
+            nseg = max(1, min(T // 2, int(os.environ.get(
+                "GENSTARK_TRACE_SCAN_SEG", 2048))))
+            while T % nseg:
+                nseg -= 1
+            self._trace_scan_nseg = nseg
+        else:
+            self._trace_scan_nseg = None
         # Split mode COMPOSES with mesh mode: the flagship multi-chip config
         # (2^20 steps -> Ne = 2^24 on a few chips) needs both the stage
         # boundaries (so dead full-domain intermediates are freed) and the
@@ -607,10 +616,17 @@ class FusedProver:
         barrier = jax.lax.optimization_barrier if self._split else \
             (lambda x: x)
 
-        # statics first: the checkpoint trace scan consumes them
-        statics_std = self._assemble_statics(statics_parts)
-        K = statics_std.shape[0]
-        statics = _to_mont_batch(dev, statics_std) if K else None
+        # statics assemble early ONLY when the checkpoint trace scan
+        # consumes them; otherwise defer past the trace-LDE phase barrier so
+        # the [K, L, T] Montgomery statics don't stay live across the big
+        # trace-LDE allocations the barriers keep apart (~2 GB at K=64,
+        # T=2^20 in split mode)
+        def _statics_mont():
+            s_std = self._assemble_statics(statics_parts)
+            k = s_std.shape[0]
+            return (_to_mont_batch(dev, s_std) if k else None), k
+        if self._trace_scan_nseg:
+            statics, K = _statics_mont()
 
         trace_std = trace_std.astype(jnp.uint32)      # u16 upload (see _put16)
         trace = _to_mont_batch(dev, trace_std)    # [R, L, T] or [R, L, n_seg]
@@ -621,6 +637,8 @@ class FusedProver:
         e_vectors_mont = [p_evals[r] for r in range(R)]
         e_vectors_std = [cmap1(dev._from_mont, p_evals[r]) for r in range(R)]
         p_polys, e_vectors_std = barrier((p_polys, e_vectors_std))
+        if not self._trace_scan_nseg:
+            statics, K = _statics_mont()
 
         # static registers: polynomials once, then per-domain evaluations
         if K:
@@ -837,6 +855,30 @@ class FusedProver:
         dom_outer, dom_inner = tb.parts("dom_fwd")
         incr_parts = tb.parts("incr") if (need_incr and "incr" in tb) else None
 
+        if chunks == 1 and mesh is None and dev._use_pallas_ops():
+            # the whole pointwise tail as ONE Pallas kernel (qe, the
+            # boundary and evaluation vectors each read once, every
+            # multiply in VMEM) — ~12 separate full-domain passes
+            # otherwise; bit-identical (tests/test_lcomb_kernel.py)
+            from .lincomb_kernel import lcomb_tail
+            fused = lcomb_tail(
+                dev, qe, b_stack, e_std, (dom_outer, dom_inner),
+                incr_parts, inv_series, z.x_at_last_step, b_coeffs,
+                l_coeffs, b_incremental > 0,
+                self.l_comb.ps_incremental_degree > 0, ext)
+            if fused is not None:
+                return fused
+            # kernel declined via its shape guards: restore the lax.map
+            # memory guard (chunks was forced to 1 only on the promise the
+            # Pallas kernel would bound its own temps — an unchunked body
+            # pass holds ~10 full-domain [L, Ne] buffers)
+            nfall = Ne // self._chunk_elems
+            nj, s = dom_outer.shape[-1], dom_inner.shape[-1]
+            if (nfall >= 2 and nj % nfall == 0 and (Ne // nfall) % s == 0
+                    and (Ne // nfall) % ext == 0):
+                chunks = nfall
+                M = Ne // chunks
+
         def _chunked(a):
             # [..., Ne] -> [chunks, ..., M] for lax.map
             return jnp.moveaxis(a.reshape(a.shape[:-1] + (chunks, M)), -2, 0)
@@ -878,20 +920,8 @@ class FusedProver:
             return _sd(dev._add(c_c, dev.combine_many_mont(ps, l_coeffs)))
 
         if chunks == 1:
-            if mesh is None and dev._use_pallas_ops():
-                # the whole pointwise tail as ONE Pallas kernel (qe, the
-                # boundary and evaluation vectors each read once, every
-                # multiply in VMEM) — ~12 separate full-domain passes
-                # otherwise; bit-identical (tests/test_lcomb_kernel.py)
-                from .lincomb_kernel import lcomb_tail
-                fused = lcomb_tail(
-                    dev, qe, b_stack, e_std, (dom_outer, dom_inner),
-                    incr_parts, inv_series, z.x_at_last_step, b_coeffs,
-                    l_coeffs, b_incremental > 0,
-                    self.l_comb.ps_incremental_degree > 0, ext)
-                if fused is not None:
-                    return fused
             # single full-domain pass: no lax.map, no per-chunk slicing
+            # (the fused Pallas tail was already attempted above)
             return _sd(body(tuple(x[0] for x in xs)))
         out = jax.lax.map(body, xs)                              # [chunks, L, M]
         return _sd(jnp.moveaxis(out, 0, -2).reshape(L, Ne))
