@@ -47,6 +47,29 @@ class HostField:
             raise ZeroDivisionError("inverse of zero in prime field")
         return pow(a, self.p - 2, self.p)
 
+    def batch_inv(self, values: Sequence[int]) -> List[int]:
+        """Montgomery's trick: n inverses for ONE exponentiation and 3(n-1)
+        multiplications.  The verifier's hot path — per-query Z(x) and FRI
+        quartic denominators batch through here (a Fermat inversion of the
+        128-bit modulus costs ~30 us; a multiplication ~0.1 us)."""
+        n = len(values)
+        if n == 0:
+            return []
+        prefix = [0] * n               # prefix[i] = prod(values[:i])
+        acc = 1
+        for i, v in enumerate(values):
+            v %= self.p
+            if v == 0:
+                raise ZeroDivisionError("inverse of zero in prime field")
+            prefix[i] = acc
+            acc = acc * v % self.p
+        inv_acc = pow(acc, self.p - 2, self.p)
+        out = [0] * n
+        for i in range(n - 1, -1, -1):
+            out[i] = prefix[i] * inv_acc % self.p
+            inv_acc = inv_acc * values[i] % self.p
+        return out
+
     # ----- roots of unity ---------------------------------------------------
     @property
     def two_adicity(self) -> int:
@@ -123,13 +146,13 @@ class HostField:
         root = [1]
         for x in xs:
             root = self.mul_polys(root, [(-x) % self.p, 1])
+        nums = [_div_linear(root, xs[i], self.p) for i in range(n)]
+        inv_ds = self.batch_inv(
+            [self.eval_poly_at(nums[i], xs[i]) for i in range(n)])
         out = [0] * n
         for i in range(n):
-            # numerator = root / (x - x_i)  (synthetic division)
-            num = _div_linear(root, xs[i], self.p)
-            denom = self.eval_poly_at(num, xs[i])
-            inv_d = self.inv(denom)
-            c = (ys[i] * inv_d) % self.p
+            c = (ys[i] * inv_ds[i]) % self.p
+            num = nums[i]
             for j in range(n):
                 out[j] = (out[j] + num[j] * c) % self.p
         return out

@@ -43,15 +43,27 @@ class BoundaryConstraints:
     def count(self) -> int:
         return len(self.polys)
 
-    def evaluate_at(self, p_values: List[int], x: int) -> List[int]:
+    def evaluate_at(self, p_values: List[int], x: int,
+                    z_invs: List[int] = None) -> List[int]:
+        """z_invs: optional precomputed Z_b(x)^-1 per register (insertion
+        order) — the verifier batches these across query positions."""
         f = self.field.host
         out = []
-        for register, c in self.polys.items():
-            z = f.eval_poly_at(c["z_poly"], x)
+        for b, (register, c) in enumerate(self.polys.items()):
             i = f.eval_poly_at(c["i_poly"], x)
             p = p_values[register]
-            out.append(f.div(f.sub(p, i), z))
+            if z_invs is not None:
+                out.append(f.mul(f.sub(p, i), z_invs[b]))
+            else:
+                z = f.eval_poly_at(c["z_poly"], x)
+                out.append(f.div(f.sub(p, i), z))
         return out
+
+    def z_dens_at(self, x: int) -> List[int]:
+        """Z_b(x) denominators per register (insertion order), for batched
+        inversion by the verifier."""
+        f = self.field.host
+        return [f.eval_poly_at(c["z_poly"], x) for c in self.polys.values()]
 
     def i_polys_std(self) -> "np.ndarray":
         """Interpolant coefficients as standard-form limb arrays [B, L, T_pad]

@@ -191,7 +191,9 @@ class CompositionPolynomial:
 
     # ----- verifier path ----------------------------------------------------
     def evaluate_at(self, x: int, p_values: List[int], n_values: List[int],
-                    s_values: List[int], context) -> int:
+                    s_values: List[int], context, invs=None) -> int:
+        """invs: optional (z_den_inv, b_z_invs) precomputed inverses for this
+        x — the verifier batches them across query positions."""
         f = self.field.host
         q_values = context.evaluate_constraints_at(x, p_values, n_values, s_values)
 
@@ -206,10 +208,13 @@ class CompositionPolynomial:
         for v, c in zip(q_values, self.d_coefficients):
             qc = f.add(qc, f.mul(v, c))
 
-        z = self.z_poly.evaluate_at(x)
-        d_value = f.div(qc, z)
+        z_inv, b_z_invs = invs if invs is not None else (None, None)
+        if z_inv is not None:                 # z_inv = Z(x)^-1, pre-batched
+            d_value = f.mul(qc, z_inv)
+        else:
+            d_value = f.div(qc, self.z_poly.evaluate_at(x))
 
-        b_values = self.b_poly.evaluate_at(p_values, x)
+        b_values = self.b_poly.evaluate_at(p_values, x, b_z_invs)
         b_incremental = self.composition_degree - context.trace_length
         if b_incremental > 0:
             power = f.exp(x, b_incremental)

@@ -310,13 +310,31 @@ class Stark:
         log("Verified evaluation merkle proof")
 
         # 5 ----- constraint checks + linear combination values
+        # All per-position field inversions — Z(x)^-1 via (x^T - 1)^-1 and
+        # the boundary Z_b(x)^-1 — batch into ONE Fermat exponentiation
+        # (Montgomery's trick): inversions were >50% of verify time.
+        T = context.trace_length
+        z = c_poly.z_poly
+        xs = [f.exp(context.root_of_unity, step) for step in positions]
+        n_b = c_poly.b_poly.count
+        dens = []
+        for x in xs:
+            dens.append(f.sub(f.exp(x, T), 1))            # (x^T - 1)
+            dens.extend(c_poly.b_poly.z_dens_at(x))       # Z_b(x) per register
+        invs = f.batch_inv(dens)
         lc_values = []
-        for step in positions:
-            x = f.exp(context.root_of_unity, step)
+        for i, step in enumerate(positions):
+            x = xs[i]
             p_values = p_evaluations[step]
             n_values = p_evaluations[(step + ext) % evaluation_domain_size]
             s_values = s_evaluations[step]
-            c_value = c_poly.evaluate_at(x, p_values, n_values, s_values, context)
+            base = i * (1 + n_b)
+            # 1/Z(x) = (x - x_last) / (x^T - 1)
+            z_inv = f.mul(f.sub(x, z.x_at_last_step), invs[base])
+            c_value = c_poly.evaluate_at(x, p_values, n_values, s_values,
+                                         context,
+                                         invs=(z_inv,
+                                               invs[base + 1:base + 1 + n_b]))
             lc_values.append(l_combination.compute_one(x, c_value, p_values, s_values))
         log("Verified transition and boundary constraints")
 

@@ -44,28 +44,40 @@ def child(process_id: int, port: int) -> None:
     assert n_global == _NPROC * _LOCAL_DEVICES
 
     from examples.mimc import make_mimc_stark, run_mimc
-    from genstark_tpu.field import P32
+    from genstark_tpu.field import P32, P128
     from genstark_tpu.protocol import Assertion
 
-    steps = 128
-    options = {"extension_factor": 4, "exe_query_count": 12,
-               "fri_query_count": 8}
-    stark, constants = make_mimc_stark(steps, modulus=P32, use_input=False,
-                                       constant_count=16, options=options)
-    field = stark.air.field
-    controls = run_mimc(field, steps, constants, 3)
-    assertions = [Assertion(0, 0, controls[0]),
-                  Assertion(steps - 1, 0, controls[-1])]
+    # Two passes, mirroring dryrun_multichip: P32 at a config with a FRI
+    # fold (full collective coverage) and P128 (8 x 16-bit limbs through the
+    # cross-process all-to-all NTT, sharded hash, one fold).  Both assert
+    # byte-identity against a live single-device proof in every process.
+    configs = [
+        ("p32", P32, 128, 16,
+         {"extension_factor": 4, "exe_query_count": 12, "fri_query_count": 8}),
+        ("p128", P128, 128, 16,
+         {"extension_factor": 4, "exe_query_count": 8, "fri_query_count": 6}),
+    ]
+    for name, modulus, steps, n_const, options in configs:
+        stark, constants = make_mimc_stark(steps, modulus=modulus,
+                                           use_input=False,
+                                           constant_count=n_const,
+                                           options=options)
+        field = stark.air.field
+        controls = run_mimc(field, steps, constants, 3)
+        assertions = [Assertion(0, 0, controls[0]),
+                      Assertion(steps - 1, 0, controls[-1])]
 
-    single = stark.serialize(stark.prove(assertions, [], [3]))
+        single = stark.serialize(stark.prove(assertions, [], [3]))
 
-    stark.set_mesh(distributed.global_mesh())
-    proof = stark.prove(assertions, [], [3])
-    assert stark.verify(assertions, proof), "distributed proof failed verify"
-    sharded = stark.serialize(proof)
-    assert sharded == single, "distributed proof bytes != single-device"
-    print(f"child {process_id}: OK — {len(sharded)} proof bytes over "
-          f"{n_global} devices in {_NPROC} processes", flush=True)
+        stark.set_mesh(distributed.global_mesh())
+        proof = stark.prove(assertions, [], [3])
+        assert stark.verify(assertions, proof), \
+            f"distributed {name} proof failed verify"
+        sharded = stark.serialize(proof)
+        assert sharded == single, \
+            f"distributed {name} proof bytes != single-device"
+        print(f"child {process_id}: {name} OK — {len(sharded)} proof bytes "
+              f"over {n_global} devices in {_NPROC} processes", flush=True)
 
 
 def main() -> None:
@@ -88,7 +100,7 @@ def main() -> None:
     ok = True
     for i, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=1200)
+            out, _ = p.communicate(timeout=3000)
         except subprocess.TimeoutExpired:
             p.kill()
             out, _ = p.communicate()
@@ -101,13 +113,16 @@ def main() -> None:
         "processes": _NPROC,
         "devices_per_process": _LOCAL_DEVICES,
         "seconds": round(time.monotonic() - t0, 1),
-        "what": "full sharded prover over a 2-process jax.distributed CPU "
-                "mesh (Gloo collectives); proof bytes byte-identical to "
-                "single-device in every process",
-        "children": ["\n".join(o.strip().splitlines()[-2:]) for o in outs],
+        "what": "full sharded prover (p32 with FRI fold + p128 multi-limb) "
+                "over a 2-process jax.distributed CPU mesh (Gloo "
+                "collectives); proof bytes byte-identical to single-device "
+                "in every process",
+        "children": ["\n".join(ln for ln in o.strip().splitlines()
+                               if " OK " in ln.replace("—", " "))
+                     or "\n".join(o.strip().splitlines()[-3:]) for o in outs],
     }
     out_path = os.environ.get("DIST_DRYRUN_OUT",
-                              os.path.join(_REPO, "DISTRIBUTED_r03.json"))
+                              os.path.join(_REPO, "DISTRIBUTED_r05.json"))
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=2)
     print(json.dumps({"ok": ok, "seconds": result["seconds"]}))
