@@ -89,13 +89,19 @@ class CompositionPolynomial:
     def evaluate_all(self, p_polys: jnp.ndarray, p_evaluations: jnp.ndarray,
                      context, d_coeffs_mont=None, b_coeffs_mont=None,
                      b_ipolys_mont=None, q_evals=None, tables=None) -> jnp.ndarray:
-        """p_polys: [R, L, T] coefficients; p_evaluations: [R, L, Ne].
-        Returns C(x) evaluations [L, Ne] (Montgomery).
+        """p_polys: [R, L, T] coefficients; p_evaluations: unused (kept for
+        the staged caller's signature).  Returns C(x) evaluations [L, Ne] in
+        the representation implied by the coefficient arrays: Montgomery
+        for the staged path (python-int coefficients), STANDARD when the
+        fused prover passes standard-form device coefficients via the
+        `*_mont`-named args (mont_mul(termR, c) = term*c — each additive
+        term lands in the coefficients' target form; see protocol/fused.py
+        _stage_lcomb).
 
-        With the optional `*_mont` arguments ([L, K] Montgomery coefficient
-        arrays / [B, L, T] boundary interpolants) the whole method is
-        traceable with the transcript-derived values as traced inputs — used
-        by the fused single-program prover (protocol/fused.py).
+        With the optional device coefficient arguments ([L, K] arrays /
+        [B, L, T] boundary interpolants) the whole method is traceable with
+        the transcript-derived values as traced inputs — used by the fused
+        single-program prover (protocol/fused.py).
 
         `tables` (fused path) supplies every power table as traced program
         parameters ('domain', 'adjust' {group_idx}, 'nc_inv_w', 'ne_fwd_w',

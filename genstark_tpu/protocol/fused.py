@@ -168,10 +168,13 @@ class FusedProver:
         self._chunk_elems = int(os.environ.get("GENSTARK_CHUNK_ELEMS", 1 << 21))
         # with Pallas tile kernels active, chunking is skipped entirely up to
         # this domain size (the kernels bound their own temps; the lax.map
-        # wrapper costs real slice/update traffic) — above it the pointwise
-        # tail holds ~10 full-domain [L, Ne] buffers (~1 GB each at 2^25),
-        # so the map returns as a memory guard
-        self._unchunk_ne = int(os.environ.get("GENSTARK_UNCHUNK_NE", 1 << 24))
+        # wrapper costs real slice/update traffic, measured ~150 ms at
+        # 2^24).  2^25 (the 2^21-step ladder top) fits: the fused lcomb-tail
+        # kernel's live set there is its inputs/output (~5 GB) — the ~10
+        # full-domain intermediates that used to force the map exist only in
+        # the unfused fallback, which now re-chunks itself when the kernel
+        # declines (see _lcomb_chunked).
+        self._unchunk_ne = int(os.environ.get("GENSTARK_UNCHUNK_NE", 1 << 25))
         # Checkpoint trace upload: the tunnelled backend moves host->device
         # at ~40 MB/s, so the full u16 trace (16 MB at 2^20 steps) costs
         # ~0.4 s — the single largest item left in the proof after the
@@ -207,13 +210,15 @@ class FusedProver:
         # the stages.  Byte-identity with the single-device single-program
         # path is pinned by tests/test_split_sharded.py.
         self._split = Ne >= int(os.environ.get("GENSTARK_SPLIT_NE", 1 << 22))
-        if self._split:
-            self._jit = None
-            self._jit_stages = (jax.jit(self._stage_commit),
-                                jax.jit(self._stage_lcomb),
-                                jax.jit(self._stage_fri))
-        else:
-            self._jit = jax.jit(self._pipeline)
+        # jits are created lazily so only the programs a given flow actually
+        # dispatches ever compile (the host-sampled fallback pipeline, for
+        # instance, compiles only if the device sampler ever disagrees)
+        self._jit = None              # host-sampled full pipeline (fallback)
+        self._jit_packed = None       # one-dispatch pipeline + packed tail
+        self._jit_tail = None         # split-mode packed tail
+        self._jit_stages = (jax.jit(self._stage_commit),
+                            jax.jit(self._stage_lcomb),
+                            jax.jit(self._stage_fri)) if self._split else None
 
         # Structure-level caps for the padded proof-extraction gather (the
         # actual per-proof counts vary slightly with Fiat-Shamir dedup, so
@@ -402,6 +407,13 @@ class FusedProver:
                         for m in (n1, n2))
                     out[key] = {"dist": pair}
             else:
+                # single-chip only: the std-emitting Ne LDE bundle folds
+                # R^-1 into its level-1 digit matrix so stage A's committed
+                # evaluation vectors come out in STANDARD form with no
+                # from-Montgomery pass (levels 2+ share _w_digits_np's
+                # host cache with the plain w_Ne bundle)
+                specs["w_Ne_std"] = (Ne, f.get_root_of_unity(Ne),
+                                     f.inv(field.params.R_mod % p))
                 for key, (size, root, scale) in specs.items():
                     if _ntt.mxu_applicable(field, size):
                         bundle = _ntt.get_mxu_plan(field, size, root,
@@ -582,17 +594,19 @@ class FusedProver:
         all_rows = jnp.concatenate([ckpt[None], rows], axis=0)  # [K, R, L, S]
         return jnp.transpose(all_rows, (1, 2, 3, 0)).reshape(R, L, T)
 
-    def _stage_commit(self, trace_std, statics_parts, tpack, mxund,
-                      keep_mont=False):
+    def _stage_commit(self, trace_std, statics_parts, tpack, mxund):
         """Reference steps 3-4 (/root/reference/lib/Stark.ts:104-119):
         trace interpolation, LDE, static-register evaluations, evaluation
-        Merkle tree.  Returns (p_polys, static_polys, e_std, e_flat, e_root)
-        — deliberately NOT the Montgomery-form evaluation arrays: in split
-        mode those would pin an extra ~1.5 GB across the stage boundary at
-        Ne = 2^24, and stage B reconstructs them from e_std with one cheap
-        to-Montgomery pass.  In the single-program pipeline (keep_mont=True)
-        there is no stage boundary, so the Montgomery forms are returned
-        too and the reconstruction multiply is skipped entirely."""
+        Merkle tree.  Returns (p_polys, static_polys, e_std, e_flat, e_root).
+
+        The evaluation vectors are produced DIRECTLY in standard form: the
+        MXU "w_Ne_std" bundle folds R^-1 into its level-1 digit matrix (the
+        same trick the iNTT uses for n^-1 — zero extra cost), and the
+        non-MXU paths apply R^-1 on the COEFFICIENTS (size T = Ne/ext)
+        before the LDE.  No full-domain from-Montgomery pass exists
+        anywhere in the prover: stage B's pointwise tail and the FRI fold
+        chain both consume standard-form values against Montgomery
+        coefficient tables (mont_mul(v, cR) = v*c keeps values standard)."""
         context = self.context
         field = self.field
         dev = field.device
@@ -633,9 +647,13 @@ class FusedProver:
         if self._trace_scan_nseg:
             trace = self._scan_trace(trace, statics)            # [R, L, T]
         p_polys = intt_t(trace)
-        p_evals = lde(p_polys, Ne, "w_Ne")                      # [R, L, Ne]
-        e_vectors_mont = [p_evals[r] for r in range(R)]
-        e_vectors_std = [cmap1(dev._from_mont, p_evals[r]) for r in range(R)]
+        std_b = (mxund or {}).get("w_Ne_std") is not None
+        if std_b:
+            p_e_std = lde(p_polys, Ne, "w_Ne_std")              # [R, L, Ne]
+        else:
+            p_src = jnp.stack([dev._from_mont(p_polys[r]) for r in range(R)])
+            p_e_std = lde(p_src, Ne, "w_Ne")
+        e_vectors_std = [p_e_std[r] for r in range(R)]
         p_polys, e_vectors_std = barrier((p_polys, e_vectors_std))
         if not self._trace_scan_nseg:
             statics, K = _statics_mont()
@@ -643,10 +661,12 @@ class FusedProver:
         # static registers: polynomials once, then per-domain evaluations
         if K:
             static_polys = intt_t(statics)
+            s_src = None if std_b else jnp.stack(
+                [dev._from_mont(static_polys[k]) for k in range(K)])
             for k in self.secret_idx:
-                s_eval = lde(static_polys[k], Ne, "w_Ne")
-                e_vectors_mont.append(s_eval)
-                e_vectors_std.append(cmap1(dev._from_mont, s_eval))
+                e_vectors_std.append(
+                    lde(static_polys[k], Ne, "w_Ne_std") if std_b
+                    else lde(s_src[k], Ne, "w_Ne"))
                 e_vectors_std = barrier(e_vectors_std)
         else:
             static_polys = jnp.zeros((0, dev.L, T), dtype=jnp.uint32)
@@ -662,19 +682,20 @@ class FusedProver:
         # the elementwise chains run as Pallas tile kernels)
         e_flat = pin_rows_minor(build_tree_flat(hash_, leaves, Ne))
         e_root = fs.root_words(e_flat, Ne)
-        if keep_mont:
-            return (p_polys, static_polys, e_std, e_flat, e_root,
-                    e_vectors_mont)
         return p_polys, static_polys, e_std, e_flat, e_root
 
     def _stage_lcomb(self, p_polys, static_polys, e_std, i_polys_std, e_root,
-                     tpack, mxund, evals_mont=None):
+                     tpack, mxund):
         """Reference steps 5-6 (Stark.ts:121-131): composition polynomial +
         random linear combination, with the transcript coefficients derived
-        on device from the e-tree root.  Montgomery-form P/S evaluations are
-        rebuilt from e_std (one multiply pass) and the composition-domain
-        static evaluations from static_polys (one small LDE) — see
-        _stage_commit.  Returns l_evals [L, Ne]."""
+        on device from the e-tree root.  Returns l_evals [L, Ne] in
+        STANDARD form: the coefficients that multiply Montgomery-form terms
+        (d/b) are converted to standard form (tiny [L, K] arrays), so every
+        additive term of the combination lands in standard form —
+        mont_mul(vR, c) = v*c — and the standard-form e_std vectors combine
+        against the MONTGOMERY l-coefficients directly (mont_mul(v, cR) =
+        v*c), which deletes the to-Montgomery reconstruction pass
+        entirely."""
         context = self.context
         field = self.field
         dev = field.device
@@ -693,8 +714,12 @@ class FusedProver:
         stream = fs.prng_elements_dev(field, e_root, total)     # [L, total]
         dc = self.c_poly.d_coefficient_count
         bc = self.c_poly.b_coefficient_count
-        d_coeffs = stream[:, :dc]
-        b_coeffs = stream[:, dc:dc + bc]
+        # d/b coefficients multiply MONTGOMERY-form terms and must land the
+        # sum in standard form -> convert the tiny coefficient arrays to
+        # standard; l coefficients multiply the STANDARD-form e_std vectors
+        # -> keep Montgomery.  (mont_mul(vR, c) = mont_mul(v, cR) = v*c.)
+        d_coeffs = dev._from_mont(stream[:, :dc])
+        b_coeffs = dev._from_mont(stream[:, dc:dc + bc])
         l_coeffs = stream[:, dc + bc:]
 
         cf = Nc // T
@@ -728,14 +753,6 @@ class FusedProver:
                                        e_std, d_coeffs, b_coeffs, l_coeffs,
                                        chunks, mxund)
 
-        if evals_mont is not None:       # single-program mode: forms alive
-            p_evals = jnp.stack(evals_mont[:R])
-            s_evals = list(evals_mont[R:])
-        else:
-            p_evals = jnp.stack([cmap1(dev._to_mont, e_std[r])
-                                 for r in range(R)])
-            s_evals = [cmap1(dev._to_mont, e_std[R + i])
-                       for i in range(e_std.shape[0] - R)]
         mx = mxund or {}
         c_tables = {
             "domain": tb["dom_fwd"],
@@ -754,11 +771,12 @@ class FusedProver:
                      for b, (r, c) in enumerate(self.c_poly.b_poly.polys.items())],
         }
         c_evals = shard_dom(self.c_poly.evaluate_all(
-            p_polys, p_evals, context, d_coeffs_mont=d_coeffs,
+            p_polys, None, context, d_coeffs_mont=d_coeffs,
             b_coeffs_mont=b_coeffs, b_ipolys_mont=i_polys_mont, q_evals=q_evals,
             tables=c_tables))
 
-        ps = [p_evals[r] for r in range(R)] + list(s_evals)
+        # standard-form values x Montgomery coefficients -> standard form
+        ps = [e_std[v] for v in range(e_std.shape[0])]
         if self.l_comb.ps_incremental_degree > 0:
             ps = ps + [dev.mont_mul(v, tb["incr"]) for v in ps]
         return shard_dom(dev._add(c_evals, dev.combine_many_mont(ps, l_coeffs)))
@@ -914,7 +932,8 @@ class FusedProver:
                 ba += [dev.mont_mul(v, incr_c) for v in ba[:B]]
             c_c = d_c if not ba else dev._add(
                 d_c, dev.combine_many_mont(ba, b_coeffs))
-            ps = [dev._to_mont(e_c[v]) for v in range(V)]
+            # e_c is standard form; l_coeffs Montgomery -> terms standard
+            ps = [e_c[v] for v in range(V)]
             if self.l_comb.ps_incremental_degree > 0:
                 ps = ps + [dev.mont_mul(v, incr_c) for v in ps[:V]]
             return _sd(dev._add(c_c, dev.combine_many_mont(ps, l_coeffs)))
@@ -946,10 +965,14 @@ class FusedProver:
         roots = []
         tree_flats = []
         layer_stds = []
+        # l_evals and every fold output are STANDARD form already (stage B
+        # emits std; fold_traced is representation-preserving — its value
+        # multiplies all carry Montgomery coefficients), so the former
+        # per-layer from-Montgomery pass (full-domain at depth 0) is gone.
         values = l_evals
         all_layers = self.layer_sizes + [self.remainder_size]
         for depth, n in enumerate(all_layers):
-            v_std = cmap1(dev._from_mont, values)
+            v_std = values
             layer_stds.append(v_std)
             row_hashes = shard_dom(pin_rows_minor(
                 hash_.digest_stride_rows(v_std, elem)))
@@ -991,25 +1014,185 @@ class FusedProver:
           roots    [1 + n_layers, 8]     — e-root, lc-root, column roots...
           remainder_std [L, remainder]
         """
-        p_polys, static_polys, e_std, e_flat, e_root, evals_mont = \
-            self._stage_commit(trace_std, statics_parts, tpack, mxund,
-                               keep_mont=True)
+        p_polys, static_polys, e_std, e_flat, e_root = \
+            self._stage_commit(trace_std, statics_parts, tpack, mxund)
         l_evals = self._stage_lcomb(p_polys, static_polys, e_std,
-                                    i_polys_std, e_root, tpack, mxund,
-                                    evals_mont=evals_mont)
+                                    i_polys_std, e_root, tpack, mxund)
         fri_cat, vals_cat, fri_roots, remainder_std = self._stage_fri(
             l_evals, tpack, mxund)
         roots_cat = jnp.concatenate([e_root[None], fri_roots], axis=0)
         return e_flat, fri_cat, e_std, vals_cat, roots_cat, remainder_std
 
-    # --------------------------------------------------------------- assembly
-    def prove(self, trace_std: np.ndarray) -> StarkProof:
-        context = self.context
-        field = self.field
-        stark = self.stark
-        Ne = self.Ne
-        elem = field.element_size
+    # ------------------------------------------------- one-fetch proof tail
+    # Candidate window for the device rejection sampler: odd-hex transcript
+    # states (P = 1/16) make runs of ~16 consecutive candidates hash
+    # identically (queries.py's Node odd-nibble drop absorbs the +1), so
+    # the window is ~16x the worst-case need; exhaustion falls back to the
+    # host sampler.
+    @staticmethod
+    def _n_cand(count: int) -> int:
+        return 32 * count + 512
 
+    def _packed_tail(self, e_flat, fri_cat, vals_cat, e_std, e_root,
+                     fri_roots):
+        """Traced one-fetch proof tail: device-side transcript sampling
+        (protocol/device_queries — bit-exact with queries.py), batch-proof
+        planning (plan_rows_dev == merkle.plan_batch), the packed gather,
+        and the roots — everything the host needs in ONE transfer, so the
+        proof has NO mid-proof device->host sync (the former roots fetch +
+        host sampling + second gather dispatch cost ~30-55 ms of tunnel
+        round-trips per proof; reference flow: Stark.ts:133-150).
+
+        Layout (u32): [rows_e*8 | rows_f*8 | cols*L | evals*V*L |
+        exe_pos+found | per-layer pos+found | root words].  The host
+        re-derives positions and plans from the fetched roots and compares
+        them with the fetched device positions; any disagreement falls
+        back to the host-sampled path (see prove)."""
+        from . import device_queries as dq
+        from ..merkle import _level_offset
+        idx_gen = self.stark.index_generator
+        context = self.context
+        Ne = self.Ne
+        ext = context.extension_factor
+        exe_count = min(idx_gen.exe_query_count, Ne - Ne // ext)
+        fri_q = idx_gen.fri_query_count
+        exe_q = idx_gen.exe_query_count
+        all_layers = self.layer_sizes + [self.remainder_size]
+        tree_sizes = [Ne] + [n // 4 for n in all_layers]
+        fri_offsets = np.cumsum([0] + [tree_row_count(n)
+                                       for n in tree_sizes[1:]])
+        capRe, capRf, capC, capE = self._caps
+        u32 = jnp.uint32
+
+        def concat_sections(sections, total_cap):
+            """[(arr int32[cap_k], n_k)] -> one int32[total_cap]: each
+            section's first n_k entries packed contiguously (the variable-
+            length analog of the host's list concatenation)."""
+            out = jnp.zeros((total_cap + 1,), dtype=jnp.int32)
+            offset = jnp.int32(0)
+            for arr, n in sections:
+                pos = jax.lax.iota(jnp.int32, arr.shape[0])
+                dest = jnp.where(pos < n, offset + pos,
+                                 jnp.int32(total_cap))
+                out = out.at[dest].set(arr, mode="drop")
+                offset = offset + n
+            return out[:total_cap]
+
+        lc_root = fri_roots[0]
+        exe_pos, exe_found = dq.sample_indexes_dev(
+            lc_root, exe_count, Ne, ext, self._n_cand(exe_count))
+        aug_pos, n_aug = dq.augment_stark(exe_pos, ext, Ne)
+        lc_aug, n_lc_aug = dq.augment_fri(exe_pos, Ne)
+
+        # per-layer FRI sampling (each seeded by the NEXT layer's root,
+        # exactly as the host loop: layer_roots[i + 1])
+        layer_pos, layer_aug = [], []
+        founds = [exe_found]
+        for i, n in enumerate(self.layer_sizes):
+            column_length = n // 4
+            pos_i, found_i = dq.sample_indexes_dev(
+                fri_roots[i + 1], fri_q, column_length, ext,
+                self._n_cand(fri_q))
+            aug_i, n_aug_i = dq.augment_fri(pos_i, column_length)
+            layer_pos.append((pos_i, jnp.int32(fri_q)))
+            layer_aug.append((aug_i, n_aug_i))
+            founds.append(found_i)
+
+        # plans in host order: e(tree 0), lc(tree 1), then per layer
+        # (col tree i+2, poly tree i+1); rows_e is plan 0, rows_f the rest
+        def plan_rows(tree_index, positions, n_pos):
+            n_leaves = tree_sizes[tree_index]
+            depth = n_leaves.bit_length() - 1
+            cap = positions.shape[0] * (1 + depth)
+            rows, n_rows = dq.plan_rows_dev(positions, n_pos, depth,
+                                            n_leaves, cap, _level_offset)
+            if tree_index:
+                base = np.int32(int(fri_offsets[tree_index - 1]))
+                rows = rows + base          # padding polluted, masked below
+            return rows, n_rows
+
+        rows_e, n_rows_e = plan_rows(0, aug_pos, n_aug)
+        rows_e_pad = concat_sections([(rows_e, n_rows_e)], capRe)
+        f_sections = [plan_rows(1, lc_aug, n_lc_aug)]
+        for i in range(len(self.layer_sizes)):
+            f_sections.append(plan_rows(i + 2, *layer_aug[i]))
+            f_sections.append(plan_rows(i + 1, *layer_pos[i]))
+        rows_f_pad = concat_sections(f_sections, capRf)
+
+        # column-value indices: remainder prefix (static) + per (layer,
+        # rows) section expanded x4 (r-major, j-inner — Stark.ts layout)
+        layer_col_offsets = np.cumsum([0] + list(all_layers))
+        rem_base = int(layer_col_offsets[-2])
+        rem_idx = (np.int32(rem_base) +
+                   jax.lax.iota(jnp.int32, self.remainder_size))
+        val_sections = [(rem_idx, jnp.int32(self.remainder_size))]
+        lc_rows = [(0, lc_aug, n_lc_aug)]
+        for i in range(len(self.layer_sizes)):
+            lc_rows.append((i + 1,) + layer_aug[i])
+            lc_rows.append((i,) + layer_pos[i])
+        for layer, rows, n_rows in lc_rows:
+            m = all_layers[layer] // 4
+            base = np.int32(int(layer_col_offsets[layer]))
+            idx4 = (base + rows[:, None] +
+                    (np.arange(4, dtype=np.int32) * m)[None, :])
+            val_sections.append((idx4.reshape(-1), n_rows * 4))
+        cols_pad = concat_sections(val_sections, capC)
+        e_pad = concat_sections([(aug_pos, n_aug)], capE)
+
+        # the packed gather (same as _packed_gather) + checks + roots
+        rows_e_t = jnp.take(e_flat, rows_e_pad, axis=1).T
+        rows_f_t = jnp.take(fri_cat, rows_f_pad, axis=1).T
+        cols = jnp.take(vals_cat, cols_pad, axis=1)
+        evals = jnp.take(e_std, e_pad, axis=2)
+        checks = [exe_pos.astype(u32), exe_found[None].astype(u32)]
+        for i in range(len(self.layer_sizes)):
+            checks.append(layer_pos[i][0].astype(u32))
+            checks.append(founds[i + 1][None].astype(u32))
+        roots_flat = jnp.concatenate([e_root, fri_roots.reshape(-1)])
+        return jnp.concatenate(
+            [rows_e_t.reshape(-1), rows_f_t.reshape(-1), cols.reshape(-1),
+             evals.reshape(-1)] + checks + [roots_flat])
+
+    def _pipeline_packed(self, trace_std, statics_parts, i_polys_std, tpack,
+                         mxund):
+        """The ENTIRE proof as one program: pipeline + device transcript +
+        packed gather — one dispatch, one fetch (small/medium domains)."""
+        e_flat, fri_cat, e_std, vals_cat, roots_cat, _ = self._pipeline(
+            trace_std, statics_parts, i_polys_std, tpack, mxund)
+        return self._packed_tail(e_flat, fri_cat, vals_cat, e_std,
+                                 roots_cat[0], roots_cat[1:])
+
+    # --------------------------------------------------------------- assembly
+    def _run_stages(self, trace_dev, statics_parts, i_polys_np, marks):
+        """Split-mode stage dispatch (A commit, B lcomb, C fri) with the
+        inter-stage memory releases; returns the proof-tail inputs."""
+        import os
+        import time
+        jit_a, jit_b, jit_c = self._jit_stages
+        # GENSTARK_STAGE_TIMING forces a tiny fetch after each stage so
+        # the marks attribute time per stage (costs 2 extra round-trips;
+        # diagnostics only)
+        stage_sync = (lambda x: np.asarray(jax.lax.slice(
+            x.reshape(-1), (0,), (1,)))) if \
+            os.environ.get("GENSTARK_STAGE_TIMING") else (lambda x: None)
+        p_polys, static_polys, e_std, e_flat, e_root_dev = jit_a(
+            trace_dev, statics_parts,
+            self._get_pack(), self._get_mxund())
+        stage_sync(e_flat)
+        marks.append(("stage A (commit)", time.monotonic()))
+        l_evals = jit_b(p_polys, static_polys, e_std,
+                        self._put16(i_polys_np), e_root_dev,
+                        self._get_pack(), self._get_mxund())
+        stage_sync(l_evals)
+        marks.append(("stage B (lcomb)", time.monotonic()))
+        # free the full-domain stage inputs before the FRI chain runs
+        del p_polys, static_polys
+        fri_cat, vals_cat, fri_roots, _ = jit_c(
+            l_evals, self._get_pack(), self._get_mxund())
+        del l_evals
+        return e_flat, fri_cat, e_std, vals_cat, e_root_dev, fri_roots
+
+    def prove(self, trace_std: np.ndarray) -> StarkProof:
         import os
         import time
         timing = os.environ.get("GENSTARK_TIMING")
@@ -1029,42 +1212,117 @@ class FusedProver:
                          tuple(self._put16(c) for c in statics_cycs))
         i_polys_np = self.c_poly.b_poly.i_polys_std()
         marks.append(("host prep", time.monotonic()))
-        if self._split:
-            jit_a, jit_b, jit_c = self._jit_stages
-            # GENSTARK_STAGE_TIMING forces a tiny fetch after each stage so
-            # the marks attribute time per stage (costs 2 extra round-trips;
-            # diagnostics only)
-            stage_sync = (lambda x: np.asarray(jax.lax.slice(
-                x.reshape(-1), (0,), (1,)))) if \
-                os.environ.get("GENSTARK_STAGE_TIMING") else (lambda x: None)
-            p_polys, static_polys, e_std, e_flat, e_root_dev = jit_a(
-                trace_dev, statics_parts,
-                self._get_pack(), self._get_mxund())
-            stage_sync(e_flat)
-            marks.append(("stage A (commit)", time.monotonic()))
-            l_evals = jit_b(p_polys, static_polys, e_std,
-                            self._put16(i_polys_np), e_root_dev,
-                            self._get_pack(), self._get_mxund())
-            stage_sync(l_evals)
-            marks.append(("stage B (lcomb)", time.monotonic()))
-            # free the full-domain stage inputs before the FRI chain runs
-            del p_polys, static_polys
-            fri_cat, vals_cat, fri_roots, remainder_dev = jit_c(
-                l_evals, self._get_pack(), self._get_mxund())
-            del l_evals
-            from ..parallel.distributed import fetch
-            roots_np = np.concatenate(
-                [fetch(e_root_dev)[None], fetch(fri_roots)],
-                axis=0).astype("<u4")
-        else:
-            e_flat, fri_cat, e_std, vals_cat, roots_cat, remainder_dev = \
-                self._jit(trace_dev, statics_parts,
-                          self._put16(i_polys_np), self._get_pack(),
-                          self._get_mxund())
-            from ..parallel.distributed import fetch
-            roots_np = fetch(roots_cat).astype("<u4")           # tiny sync
+
+        from ..parallel.distributed import fetch
+        stage_out = None
+        # One-fetch proof: the transcript sampling + proof planning + gather
+        # run IN-PROGRAM (_packed_tail), so there is no mid-proof
+        # device->host sync at all.  GENSTARK_ONE_DISPATCH=0 disables; mesh
+        # mode keeps the host-sampled path (its pinned-bytes dryruns cover
+        # the collective surface, not the sampling kernels).
+        if os.environ.get("GENSTARK_ONE_DISPATCH") != "0" and \
+                self.mesh is None:
+            if self._split:
+                stage_out = self._run_stages(trace_dev, statics_parts,
+                                             i_polys_np, marks)
+                if self._jit_tail is None:
+                    self._jit_tail = jax.jit(self._packed_tail)
+                packed_np = fetch(self._jit_tail(
+                    stage_out[0], stage_out[1], stage_out[3], stage_out[2],
+                    stage_out[4], stage_out[5]))
+            else:
+                if self._jit_packed is None:
+                    self._jit_packed = jax.jit(self._pipeline_packed)
+                packed_np = fetch(self._jit_packed(
+                    trace_dev, statics_parts, self._put16(i_polys_np),
+                    self._get_pack(), self._get_mxund()))
+            marks.append(("pipeline+packed fetch", time.monotonic()))
+            proof = self._assemble_device_sampled(packed_np, marks, timing)
+            if proof is not None:
+                return proof
+            # device sampling disagreed with the host's (candidate window
+            # exhausted, or the sampler's unmodeled hex-length corner):
+            # fall back to the host-sampled two-dispatch path below
+
+        if stage_out is None:
+            if self._split:
+                stage_out = self._run_stages(trace_dev, statics_parts,
+                                             i_polys_np, marks)
+            else:
+                if self._jit is None:
+                    self._jit = jax.jit(self._pipeline)
+                e_flat_, fri_cat_, e_std_, vals_cat_, roots_cat, _ = \
+                    self._jit(trace_dev, statics_parts,
+                              self._put16(i_polys_np), self._get_pack(),
+                              self._get_mxund())
+                stage_out = (e_flat_, fri_cat_, e_std_, vals_cat_,
+                             roots_cat[0], roots_cat[1:])
+        e_flat, fri_cat, e_std, vals_cat, e_root_dev, fri_roots = stage_out
+        roots_np = np.concatenate(
+            [fetch(e_root_dev)[None], fetch(fri_roots)],
+            axis=0).astype("<u4")
         marks.append(("pipeline+roots sync", time.monotonic()))
         root_bytes = [roots_np[i].tobytes() for i in range(roots_np.shape[0])]
+        hp = self._host_plans(root_bytes)
+        marks.append(("host transcript+plans", time.monotonic()))
+        packed = fetch(self._packed_gather(
+            e_flat, fri_cat, vals_cat, e_std, jnp.asarray(hp["rows_e_pad"]),
+            jnp.asarray(hp["rows_f_pad"]), jnp.asarray(hp["cols_pad"]),
+            jnp.asarray(hp["e_pad"])))
+        marks.append(("packed gather+transfer", time.monotonic()))
+        return self._assemble(packed, hp, root_bytes, marks, timing)
+
+    def _tail_layout(self):
+        """(offset, lengths) of the checks+roots tail _packed_tail appends
+        after the four gather sections."""
+        capRe, capRf, capC, capE = self._caps
+        L = self.field.device.L
+        V = self.context.schema.trace_width + len(self.secret_idx)
+        base = capRe * 8 + capRf * 8 + L * capC + V * L * capE
+        idx_gen = self.stark.index_generator
+        exe_count = min(idx_gen.exe_query_count,
+                        self.Ne - self.Ne // self.context.extension_factor)
+        secs = [exe_count, 1]
+        for _ in self.layer_sizes:
+            secs += [idx_gen.fri_query_count, 1]
+        n_roots = (2 + len(self.layer_sizes)) * 8
+        return base, secs, n_roots
+
+    def _assemble_device_sampled(self, packed, marks, timing):
+        """Parse a _packed_tail buffer: recover the roots, re-derive the
+        host transcript, verify the device sampling matches it, and
+        assemble.  Returns None when the device sampling must be
+        discarded (caller falls back to the host-sampled path)."""
+        import time
+        base, secs, n_roots = self._tail_layout()
+        tail = packed[base:]
+        roots_np = tail[sum(secs):sum(secs) + n_roots].astype("<u4")
+        root_bytes = [roots_np[8 * i:8 * (i + 1)].tobytes()
+                      for i in range(n_roots // 8)]
+        hp = self._host_plans(root_bytes)
+        # device sampling == host sampling?  (found counts complete AND
+        # every position equal — found < count means window exhaustion)
+        off = 0
+        dev_secs = []
+        for ln in secs:
+            dev_secs.append(tail[off:off + ln].astype(np.int64))
+            off += ln
+        want = [hp["exe_positions"]] + [pp[0] for pp in hp["comp_plans"]]
+        for k, positions in enumerate(want):
+            pos_sec, found = dev_secs[2 * k], int(dev_secs[2 * k + 1][0])
+            if found != len(positions) or \
+                    list(pos_sec[:len(positions)]) != list(positions):
+                return None
+        marks.append(("host transcript+verify", time.monotonic()))
+        return self._assemble(packed, hp, root_bytes, marks, timing)
+
+    def _host_plans(self, root_bytes):
+        """Host transcript + batch-proof planning: positions, per-tree
+        plans, and the padded gather index arrays — the exact host analog
+        of _packed_tail's device derivation (shared by the fallback path
+        and by proof assembly)."""
+        stark = self.stark
+        Ne = self.Ne
         e_root = root_bytes[0]
         layer_roots = root_bytes[1:]                            # lc + columns
 
@@ -1072,7 +1330,6 @@ class FusedProver:
         idx_gen = stark.index_generator
         lc_root = layer_roots[0]
         exe_positions = idx_gen.get_exe_indexes(lc_root, Ne)
-        ld_prover = LowDegreeProver(idx_gen, self.hash, context)
 
         # per-tree proof plans (host bookkeeping, zero device traffic);
         # tree 0 rows live in e_flat, trees 1.. in the fri_cat buffer
@@ -1117,8 +1374,6 @@ class FusedProver:
                 rows_f += [base + _level_offset(n, level) + idx
                            for level, idx in coords]
 
-        V = e_std.shape[0]
-        L = self.field.device.L
         e_idx = augmented_positions
         layer_col_offsets = np.cumsum([0] + list(all_layers))
         # remainder occupies a FIXED prefix of the column-index section
@@ -1142,18 +1397,41 @@ class FusedProver:
         cols_pad[:len(val_idx)] = val_idx
         e_pad = np.zeros(capE, dtype=np.int32)
         e_pad[:len(e_idx)] = e_idx
-        marks.append(("host transcript+plans", time.monotonic()))
-        packed = fetch(self._packed_gather(
-            e_flat, fri_cat, vals_cat, e_std, jnp.asarray(rows_e_pad),
-            jnp.asarray(rows_f_pad), jnp.asarray(cols_pad),
-            jnp.asarray(e_pad)))
-        marks.append(("packed gather+transfer", time.monotonic()))
+        return {
+            "e_root": e_root, "layer_roots": layer_roots, "lc_root": lc_root,
+            "exe_positions": exe_positions,
+            "augmented_positions": augmented_positions, "lc_aug": lc_aug,
+            "plans": plans, "comp_plans": comp_plans, "e_plan": e_plan,
+            "lc_plan": lc_plan, "rows_e": rows_e, "rows_f": rows_f,
+            "val_idx": val_idx, "e_idx": e_idx, "rows_e_pad": rows_e_pad,
+            "rows_f_pad": rows_f_pad, "cols_pad": cols_pad, "e_pad": e_pad,
+        }
+
+    def _assemble(self, packed, hp, root_bytes, marks, timing) -> StarkProof:
+        """Unpack a packed gather buffer (host- or device-indexed — same
+        prefix layout) into the StarkProof, using _host_plans' schedule."""
+        context = self.context
+        field = self.field
+        elem = field.element_size
+        import time
+        capRe, capRf, capC, capE = self._caps
+        L = self.field.device.L
+        V = context.schema.trace_width + len(self.secret_idx)
+        plans = hp["plans"]
+        rows_e, rows_f = hp["rows_e"], hp["rows_f"]
+        val_idx, e_idx = hp["val_idx"], hp["e_idx"]
+        lc_aug, comp_plans = hp["lc_aug"], hp["comp_plans"]
+        e_plan, lc_plan = hp["e_plan"], hp["lc_plan"]
+        e_root, layer_roots = hp["e_root"], hp["layer_roots"]
+        lc_root = hp["lc_root"]
+
         re_sec = packed[:capRe * 8].reshape(capRe, 8).astype("<u4")
         off = capRe * 8
         rf_sec = packed[off:off + capRf * 8].reshape(capRf, 8).astype("<u4")
         off += capRf * 8
         cols_sec = packed[off:off + L * capC].reshape(L, capC)
-        evals_sec = packed[off + L * capC:].reshape(V, L, capE)
+        off += L * capC
+        evals_sec = packed[off:off + V * L * capE].reshape(V, L, capE)
 
         fetched_e = [re_sec[i].tobytes() for i in range(len(rows_e))]
         fetched_f = [rf_sec[i].tobytes() for i in range(len(rows_f))]
@@ -1176,6 +1454,8 @@ class FusedProver:
         f = field.host
         last_rou = f.exp(context.root_of_unity, 4 ** len(self.layer_sizes))
         max_deg = self.c_poly.composition_degree
+        ld_prover = LowDegreeProver(self.stark.index_generator, self.hash,
+                                    context)
         ld_prover.verify_remainder(
             remainder, max_deg // (4 ** len(self.layer_sizes)), last_rou)
 

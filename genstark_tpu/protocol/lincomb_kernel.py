@@ -18,8 +18,12 @@ fallback and the CPU/mesh path):
     acc      = qe * zinv                             (D(x) = Q(x)/Z(x))
     incr     = outer_i[pos//s] * inner_i[pos%s]      (x^(target-T), optional)
     acc     += sum_b  b_k * b_coeff_k   (+ b_k*incr * b_coeff_{B+k})
-    acc     += sum_v  P_v * l_coeff_v   (+ P_v*incr * l_coeff_{V+v})
-                                        with P_v = to_mont(e_std_v)
+    acc     += sum_v  e_std_v * l_coeff_v (+ e_std_v*incr * l_coeff_{V+v})
+
+Representation contract (the std-form pipeline, protocol/fused.py): qe and
+e_std are STANDARD form, the boundary vectors / power tables / l_coeffs are
+Montgomery, b_coeffs are standard — every additive term therefore lands in
+standard form and the output feeds the FRI chain with no conversion pass.
 
 `digest parity`: every operation is the same canonical-form limb math the
 elementwise kernels run (ntt.pallas_kernels), so proof bytes cannot depend
@@ -42,12 +46,11 @@ _TC = 2048
 @functools.lru_cache(maxsize=None)
 def _tail_call(L: int, Ne: int, B: int, V: int, sT: int, tc: int,
                has_incr: bool, b_inc: bool, ps_inc: bool,
-               p_limbs_bytes: bytes, r2_bytes: bytes, x_last_bytes: bytes,
+               p_limbs_bytes: bytes, x_last_bytes: bytes,
                n0p_int: int, interpret: bool):
     from jax.experimental import pallas as pl
 
     p_limbs = np.frombuffer(p_limbs_bytes, dtype=np.uint32)
-    r2 = np.frombuffer(r2_bytes, dtype=np.uint32)
     x_last = np.frombuffer(x_last_bytes, dtype=np.uint32)
     n0p = np.uint32(n0p_int)
 
@@ -95,9 +98,10 @@ def _tail_call(L: int, Ne: int, B: int, V: int, sT: int, tc: int,
                 bk = [b_ref[k, i] for i in range(L)]
                 acc = _add_mod(acc, mul(mul(bk, incr), col(bc_ref, B + k)),
                                p_limbs)
-        r2c = consts(r2)
         for v in range(V):
-            pv = mul([e_ref[v, i] for i in range(L)], r2c)   # to Montgomery
+            # e rows are STANDARD form; lc coefficients are Montgomery, so
+            # each product lands in standard form directly (no to-Montgomery)
+            pv = [e_ref[v, i] for i in range(L)]
             acc = _add_mod(acc, mul(pv, col(lc_ref, v)), p_limbs)
             if ps_inc:
                 acc = _add_mod(acc, mul(mul(pv, incr), col(lc_ref, V + v)),
@@ -143,8 +147,9 @@ def lcomb_tail(dev, qe, b_stack, e_std, dom_parts, incr_parts, inv_series,
     the kernel's tiling (caller falls back to the unfused ops).
 
     dom_parts/incr_parts: (outer [L, nj], inner [L, s]) factored tables;
-    inv_series: [L, ext] inverted Z-numerator period; b_coeffs/l_coeffs:
-    [L, nb]/[L, nl] Montgomery transcript coefficients."""
+    inv_series: [L, ext] inverted Z-numerator period; b_coeffs [L, nb]
+    standard-form, l_coeffs [L, nl] Montgomery transcript coefficients
+    (see the module docstring's representation contract)."""
     L, Ne = qe.shape
     s = dom_parts[1].shape[1]
     tc = min(_TC, s)
@@ -177,7 +182,6 @@ def lcomb_tail(dev, qe, b_stack, e_std, dom_parts, incr_parts, inv_series,
     from ..field.limbs import int_to_limbs
     fn = _tail_call(L, Ne, B, V, sT, tc, incr_parts is not None, b_inc, ps_inc,
                     dev._p_np.tobytes(),
-                    np.asarray(dev.params.r2_limbs, dtype=np.uint32).tobytes(),
                     np.asarray(int_to_limbs(x_last_mont, L),
                                dtype=np.uint32).tobytes(),
                     int(dev._n0p), interpret)

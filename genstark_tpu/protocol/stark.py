@@ -158,6 +158,8 @@ class Stark:
         # the device-resident table pack so a new context/assertion-values
         # never recompiles or re-uploads
         new._jit = old._jit
+        new._jit_packed = old._jit_packed
+        new._jit_tail = old._jit_tail
         if old._split:
             new._jit_stages = old._jit_stages
         new._packed_gather = old._packed_gather

@@ -58,7 +58,8 @@ def test_lcomb_tail_matches_unfused():
     ba = [b_stack[k] for k in range(B)]
     ba += [dev.mont_mul(v, incr) for v in ba[:B]]
     acc = dev._add(acc, dev.combine_many_mont(ba, b_coeffs))
-    ps = [dev._to_mont(e_std[v]) for v in range(V)]
+    # std-form contract: e rows multiply the l-coefficients directly
+    ps = [e_std[v] for v in range(V)]
     ps += [dev.mont_mul(v, incr) for v in ps[:V]]
     expected = dev._add(acc, dev.combine_many_mont(ps, l_coeffs))
     assert np.array_equal(np.asarray(out), np.asarray(expected))
@@ -94,6 +95,5 @@ def test_lcomb_tail_no_incr_no_boundary():
     zinv = dev.mont_mul(dev._sub(dom, dev.const(x_last, shape=(1,))),
                         jnp.tile(inv_series, (1, Ne // ext)))
     acc = dev.mont_mul(qe, zinv)
-    expected = dev._add(acc, dev.combine_many_mont(
-        [dev._to_mont(e_std[0])], l_coeffs))
+    expected = dev._add(acc, dev.combine_many_mont([e_std[0]], l_coeffs))
     assert np.array_equal(np.asarray(out), np.asarray(expected))
