@@ -125,9 +125,10 @@ def bench_ntt():
     from genstark_tpu.field import P128, create_prime_field
 
     n = int(os.environ.get("BENCH_NTT_N", 2 ** 20))
-    # 16 chained transforms ~ 60 ms at 2^20: comfortably amortizes the
-    # ~27 ms tunnel dispatch floor (4 no longer does at MXU speeds)
-    k = int(os.environ.get("BENCH_NTT_CHAIN", 16))
+    # 64 chained transforms ~ 140 ms at 2^20: comfortably amortizes the
+    # ~27 ms tunnel dispatch floor (16 no longer does at the round-5
+    # digit-native rates of ~2.2 ms per 2^20 transform)
+    k = int(os.environ.get("BENCH_NTT_CHAIN", 64))
     field = create_prime_field(P128)
     plan = ntt.get_plan(field, n, False)
 

@@ -58,13 +58,39 @@ def _bswap(x):
             (x << np.uint32(24)))
 
 
-def _blake2s_kernel(msg_ref, out_ref, *, n_words, msg_bytes, tb):
-    n_blocks = max(1, (msg_bytes + 63) // 64)
+def _raw_word_fn(refs, n_words, tb, limbs_per_elem):
+    """Static word getter over the kernel's message refs.
+
+    limbs_per_elem == 0: refs = (msg_ref,), word i = msg_ref[i].
+    limbs_per_elem == W2*2: refs = V limb arrays [L, tb] (standard-form
+    16-bit limbs); word i = LE word k of element vector v (i = v*W2 + k),
+    built IN-KERNEL as lo | hi << 16 — the leaf-serialization buffer
+    (elements_to_words + concatenate, a full copy of all committed data)
+    never exists."""
+    if not limbs_per_elem:
+        msg_ref = refs[0]
+
+        def word(i):
+            if i < n_words:
+                return msg_ref[i:i + 1, :]
+            return jnp.zeros((1, tb), jnp.uint32)
+        return word
+    w2 = limbs_per_elem // 2
 
     def word(i):
         if i < n_words:
-            return msg_ref[i:i + 1, :]
+            v, k = divmod(i, w2)
+            r = refs[v]
+            return r[2 * k:2 * k + 1, :] | \
+                (r[2 * k + 1:2 * k + 2, :] << np.uint32(16))
         return jnp.zeros((1, tb), jnp.uint32)
+    return word
+
+
+def _blake2s_kernel(*args, n_words, msg_bytes, tb, limbs_per_elem=0):
+    *refs, out_ref = args
+    n_blocks = max(1, (msg_bytes + 63) // 64)
+    word = _raw_word_fn(tuple(refs), n_words, tb, limbs_per_elem)
 
     h = [jnp.full((1, tb), np.uint32(v), jnp.uint32) for v in _b2._IV]
     h[0] = h[0] ^ np.uint32(0x01010020)       # digest_length=32, fanout/depth=1

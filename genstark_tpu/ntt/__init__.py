@@ -181,14 +181,15 @@ def _mxu_min_n() -> int:
         return 1 << 13
 
 
-# Measured v5e full-path level rates (T int8-MACs/s, encode+transpose+kernel
-# included) by level size m (MXU_r04 + this round's fits); sub-128 values
+# Measured v5e full-path level rates (T int8-MACs/s, digit-native kernel +
+# inter-level transpose included) by level size m (scripts/mxu_level_bench,
+# round 5: digit-emitting epilogue, 3-fold reduction); sub-64 values
 # extrapolate the small-m falloff.  OVH is the measured per-point per-level
-# fixed cost (encode/transpose/epilogue passes): fit from the 2^24 ladder
-# (3x256: 63 ms, 4x64: 88 ms).
-_MXU_RATE = {2: 1.0, 4: 2.0, 8: 4.0, 16: 8.0, 32: 13.0, 64: 20.0,
-             128: 58.9, 256: 85.1, 512: 105.1, 1024: 114.0, 2048: 118.0}
-_MXU_LEVEL_OVH = 0.375e-9
+# fixed data-movement cost outside the kernel (the int8 transpose,
+# ~0.05 ms per 2^20 points).
+_MXU_RATE = {2: 0.8, 4: 1.6, 8: 3.0, 16: 5.0, 32: 9.0, 64: 24.9,
+             128: 48.3, 256: 79.1, 512: 110.8, 1024: 125.0, 2048: 130.0}
+_MXU_LEVEL_OVH = 0.055e-9
 _MXU_MAX_M = 2048            # s32-accumulator bound (ntt/mxu.py MAX_M)
 
 
@@ -370,14 +371,22 @@ def mxu_transform_core(field: PrimeField, a: jnp.ndarray, n: int,
     cur = jnp.moveaxis(x, 1, 0)                        # [L, Bc, n]
     pre = Bc
     rest = n
+    digit_native = False                               # cur holds int8 digits
     for lvl, m in enumerate(levels):
         rest //= m
-        curv = cur.reshape(L, pre, m, rest)
-        d = mxu.encode_digits(curv)                    # [D, pre, m, rest]
+        curv = cur.reshape(cur.shape[0], pre, m, rest)
+        # digit-native chaining: every level except the last emits int8
+        # digit planes from its epilogue, so the standalone encode pass
+        # exists only before level 0 and the inter-level transpose moves
+        # 17 int8 planes instead of 8 u32 limbs (~47% less HBM traffic)
+        d = curv if digit_native else mxu.encode_digits(curv)
         d = jnp.transpose(d, (0, 2, 1, 3)).reshape(mxu.D128, m, pre * rest)
         tw = tabs["ab"][lvl] if rest > 1 else None
-        o = mxu.run_dft_level(field, tabs["w8s"][lvl], d, m, rest, tw)
-        cur = o.reshape(L, m * pre, rest)              # pre' = (k_lvl, pre)
+        out_dig = lvl < q - 1
+        o = mxu.run_dft_level(field, tabs["w8s"][lvl], d, m, rest, tw,
+                              out_digits=out_dig)
+        cur = o.reshape(o.shape[0], m * pre, rest)     # pre' = (k_lvl, pre)
+        digit_native = out_dig
         pre *= m
     # cur: [L, k_q, ..., k_1, Bc] -> [Bc, L, (k_q, ..., k_1)]
     cur = cur.reshape((L,) + tuple(reversed(levels)) + (Bc,))

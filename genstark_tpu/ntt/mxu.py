@@ -95,13 +95,15 @@ def w_digits(field: PrimeField, m: int, root: int, scale: int = 1) -> np.ndarray
                         scale % field.modulus)
 
 
-def encode_digits(x: jnp.ndarray) -> jnp.ndarray:
-    """u32[L=8, ...] 16-bit limbs -> int8[17, ...] balanced base-256 digits
-    (x = sum d_i 256^i with the top digit in {0, 1})."""
+def encode_digit_rows(limbs: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """8 u32 16-bit-limb arrays (canonical) -> 17 int8 balanced base-256
+    digit arrays (x = sum d_i 256^i, top digit in {0, 1}).  Pure
+    elementwise — runs identically on VMEM tiles inside a Pallas kernel
+    (the digit-emitting epilogue) and in the XLA reference path."""
     digs = []
-    c = jnp.zeros(x.shape[1:], dtype=jnp.int32)
+    c = jnp.zeros_like(limbs[0], dtype=jnp.int32)
     for t in range(8):
-        limb = x[t].astype(jnp.int32)
+        limb = limbs[t].astype(jnp.int32)
         for half in range(2):
             b = (limb >> (8 * half)) & 0xFF
             s = b + c
@@ -109,7 +111,13 @@ def encode_digits(x: jnp.ndarray) -> jnp.ndarray:
             digs.append(jnp.where(ge, s - 256, s).astype(jnp.int8))
             c = ge.astype(jnp.int32)
     digs.append(c.astype(jnp.int8))
-    return jnp.stack(digs)
+    return digs
+
+
+def encode_digits(x: jnp.ndarray) -> jnp.ndarray:
+    """u32[L=8, ...] 16-bit limbs -> int8[17, ...] balanced base-256 digits
+    (x = sum d_i 256^i with the top digit in {0, 1})."""
+    return jnp.stack(encode_digit_rows([x[t] for t in range(8)]))
 
 
 # ------------------------------------------------------------------- epilogue
@@ -154,11 +162,12 @@ def _fold_p128_once(strict: List[jnp.ndarray]) -> List[jnp.ndarray]:
     return _propagate(diff, extra=1)
 
 
-def _trim(strict: List[jnp.ndarray], p_limbs: np.ndarray) -> jnp.ndarray:
-    """Strict limbs, value < 2p in the low 8 limbs -> canonical [8, ...] via
-    two conditional subtracts."""
+def _trim(strict: List[jnp.ndarray], p_limbs: np.ndarray,
+          n_sub: int = 2) -> jnp.ndarray:
+    """Strict limbs, value < (n_sub+1)*p representable in the low 8 limbs
+    -> canonical [8, ...] via n_sub conditional subtracts."""
     out = jnp.stack(strict[:8])
-    for _ in range(2):
+    for _ in range(n_sub):
         diff = []
         borrow = jnp.zeros_like(out[0])
         for j in range(8):
@@ -189,10 +198,15 @@ def diags_to_limbs(acc: List[jnp.ndarray], p_limbs: np.ndarray,
 
     Each S_k is biased by 2^30 (making it a u32 < 2^31), placed into lazy
     16-bit limbs at bit offset 8k, the precomputed correction constant
-    cancels the total bias mod p, and six solinas folds + two conditional
-    subtracts reduce the < 2^288 integer to canonical form.  Pure
-    elementwise jnp — runs identically inside a Pallas kernel (VMEM tiles)
-    and in the XLA reference path."""
+    cancels the total bias mod p, and solinas folds + two conditional
+    subtracts reduce the < 2^288 integer to canonical form.  The fold
+    count and per-fold limb lengths follow a STATIC value-bound: each fold
+    maps value = lo + hi*2^128 (lo < 2^128) to lo + hi*(9*2^32 - 1), so
+    bound' = 2^128 - 1 + (bound >> 128)*(9*2^32 - 1), and limbs above the
+    bound are provably zero and truncated — 4 ever-shorter folds instead
+    of the previous fixed 6, a ~40% cut of the (VPU-bound at small m)
+    epilogue.  Pure elementwise jnp — runs identically inside a Pallas
+    kernel (VMEM tiles) and in the XLA reference path."""
     limbs = [jnp.zeros_like(acc[0], dtype=jnp.uint32) for _ in range(_N_LAZY)]
     for j in range(8):
         limbs[j] = limbs[j] + np.uint32(corr[j])
@@ -207,9 +221,23 @@ def diags_to_limbs(acc: List[jnp.ndarray], p_limbs: np.ndarray,
             limbs[pidx] = limbs[pidx] + (sh & _M16)
             limbs[pidx + 1] = limbs[pidx + 1] + (sh >> np.uint32(LIMB_BITS))
     strict = _propagate(limbs, extra=2)
-    for _ in range(6):
+    # integer bound at entry: corr < p plus 33 biased diagonals < 2^31 each
+    bound = (1 << 128) + sum((1 << 31) << (8 * k) for k in range(N_DIAGS))
+    c = 9 * (1 << 32) - 1
+    while bound >> 128:
         strict = _fold_p128_once(strict)
-    return _trim(strict, p_limbs)
+        # value' = lo + hi*c with lo = value - hi*2^128 < 2^128: bound via
+        # the generic split (lo <= 2^128-1, hi <= bound >> 128) AND via the
+        # worst single case (hi <= 1 near the end), whichever is tighter —
+        # the min proves THREE folds reduce the 2^288 entry bound below
+        # 2^128 (then two conditional subtracts finish: 2^128 < 3p)
+        generic = (1 << 128) - 1 + (bound >> 128) * c
+        tight = max((1 << 128) - 1, bound - (1 << 128) + c)
+        bound = min(generic, tight)
+        n_limbs = max(9, -(-bound.bit_length() // LIMB_BITS) + 1)
+        strict = strict[:n_limbs]
+    # post-fold value < 2^128 < 2p -> ONE conditional subtract canonicalizes
+    return _trim(strict, p_limbs, n_sub=1)
 
 
 # ------------------------------------------------------------- XLA reference
@@ -267,7 +295,7 @@ def twiddle_split(rest: int, Tc: int = 128) -> int:
 
 def _make_dft_kernel(m: int, B: int, rest: int, s: int, p_limbs_bytes: bytes,
                      corr_bytes: bytes, n0p_int: int, Tr: int, Tc: int,
-                     interpret: bool):
+                     interpret: bool, out_digits: bool = False):
     """DFT kernel with (optionally) the level's twiddle multiply fused into
     the epilogue: out[k, col] = DFT_m(x)[k, col] * w_l^(k * (col % rest)).
 
@@ -298,16 +326,26 @@ def _make_dft_kernel(m: int, B: int, rest: int, s: int, p_limbs_bytes: bytes,
                 acc[k] = prod if acc[k] is None else acc[k] + prod
         return diags_to_limbs(acc, p_limbs, corr)      # [8, Tr, Tc]
 
+    def emit(out_ref, res):
+        """res: 8 canonical u32 limb tiles.  out_digits: re-encode to int8
+        digit planes in VMEM (the next level consumes digits directly —
+        deletes the standalone encode pass and shrinks the inter-level
+        transpose from u32 to int8)."""
+        if out_digits:
+            out_ref[...] = jnp.stack(encode_digit_rows(res))
+        else:
+            out_ref[...] = jnp.stack(res)
+
     if mode == "none":
         def kernel(w_ref, x_ref, out_ref):
-            out_ref[...] = dft_tile(w_ref, x_ref)
+            out = dft_tile(w_ref, x_ref)
+            emit(out_ref, [out[i] for i in range(L)])
     elif mode == "direct":
         def kernel(w_ref, x_ref, p_ref, out_ref):
             out = dft_tile(w_ref, x_ref)
             ov = [out[i] for i in range(L)]
             pv = [p_ref[i] for i in range(L)]
-            res = _mont_mul_tiles(ov, pv, p_limbs, n0p)
-            out_ref[...] = jnp.stack(res)
+            emit(out_ref, _mont_mul_tiles(ov, pv, p_limbs, n0p))
     else:
         def kernel(w_ref, x_ref, a_ref, b_ref, out_ref):
             out = dft_tile(w_ref, x_ref)
@@ -316,8 +354,7 @@ def _make_dft_kernel(m: int, B: int, rest: int, s: int, p_limbs_bytes: bytes,
             av = [a_ref[0, i][:, None] for i in range(L)]
             bv = [b_ref[i] for i in range(L)]          # [Tr, Tc]
             panel = _mont_mul_tiles(av, bv, p_limbs, n0p)
-            res = _mont_mul_tiles(ov, panel, p_limbs, n0p)
-            out_ref[...] = jnp.stack(res)
+            emit(out_ref, _mont_mul_tiles(ov, panel, p_limbs, n0p))
 
     grid = (m // Tr, B // Tc)
     in_specs = [pl.BlockSpec((D, Tr, m), lambda r, c: (0, r, 0)),
@@ -338,21 +375,23 @@ def _make_dft_kernel(m: int, B: int, rest: int, s: int, p_limbs_bytes: bytes,
             lambda r, c: (jax.lax.div(jax.lax.rem(c, X), sT), 0, r)))
         in_specs.append(pl.BlockSpec(
             (L, Tr, Tc), lambda r, c: (0, r, jax.lax.rem(c, sT))))
+    n_out = D128 if out_digits else 8
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((8, m, B), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_out, m, B), jnp.int8 if out_digits else jnp.uint32),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((8, Tr, Tc), lambda r, c: (0, r, c)),
+        out_specs=pl.BlockSpec((n_out, Tr, Tc), lambda r, c: (0, r, c)),
         interpret=interpret,
     )
 
 
 @lru_cache(maxsize=None)
 def _dft_kernel_fn(m, B, rest, s, p_limbs_bytes, corr_bytes, n0p, Tr, Tc,
-                   interpret):
+                   interpret, out_digits=False):
     return jax.jit(_make_dft_kernel(m, B, rest, s, p_limbs_bytes, corr_bytes,
-                                    n0p, Tr, Tc, interpret))
+                                    n0p, Tr, Tc, interpret, out_digits))
 
 
 def mxu_dft(field: PrimeField, y: jnp.ndarray, m: int, w8: jnp.ndarray,
@@ -374,7 +413,8 @@ def mxu_dft(field: PrimeField, y: jnp.ndarray, m: int, w8: jnp.ndarray,
 
 
 def _run_dft_level_ref(field: PrimeField, w8: jnp.ndarray, x8: jnp.ndarray,
-                       m: int, rest: int, tw) -> jnp.ndarray:
+                       m: int, rest: int, tw,
+                       out_digits: bool = False) -> jnp.ndarray:
     """Plain-XLA level (CPU correctness path): same math as the Pallas
     kernel — digit dots, shared epilogue, direct or factored twiddle."""
     dev = field.device
@@ -401,21 +441,25 @@ def _run_dft_level_ref(field: PrimeField, w8: jnp.ndarray, x8: jnp.ndarray,
             ov = dev.mont_mul(ov, A[:, :, None, :, None])
             ov = dev.mont_mul(ov, Bt[:, :, None, None, :])
         out = ov.reshape(8, m, cols)
+    if out_digits:
+        return encode_digits(out)
     return out
 
 
 def run_dft_level(field: PrimeField, w8: jnp.ndarray, x8: jnp.ndarray,
-                  m: int, rest: int, tw, interpret: bool = False
-                  ) -> jnp.ndarray:
+                  m: int, rest: int, tw, interpret: bool = False,
+                  out_digits: bool = False) -> jnp.ndarray:
     """Dispatch one (DFT + fused twiddle) level: x8 int8[D, m, cols] ->
-    u32[8, m, cols] = DFT_m over the m axis, times w_l^(k * (col % rest)).
+    u32[8, m, cols] = DFT_m over the m axis, times w_l^(k * (col % rest)),
+    or int8[D, m, cols] digit planes of the same values (out_digits — the
+    digit-native inter-level format).
     tw: None (rest == 1), {"p": panel [L, m, 128]} (rest <= 128) or
     {"a": A [rest//s, L, m], "b": B [L, m, s]} (factored, s >= 128).
     m: any power of two <= 2048 (below 128 the blocks span the whole m axis,
     which Mosaic accepts; the dots just run a short contraction)."""
     assert m <= MAX_M and (m & (m - 1)) == 0
     if not interpret and jax.default_backend() != "tpu":
-        return _run_dft_level_ref(field, w8, x8, m, rest, tw)
+        return _run_dft_level_ref(field, w8, x8, m, rest, tw, out_digits)
     Tr, Tc = min(m, 128), level_tc(m)
     cols = x8.shape[2]
     cols_p = -(-cols // Tc) * Tc
@@ -430,6 +474,7 @@ def run_dft_level(field: PrimeField, w8: jnp.ndarray, x8: jnp.ndarray,
     fn = _dft_kernel_fn(m, cols_p, rest if rest > 1 else 1, s,
                         field.device._p_np.tobytes(),
                         _bias_correction(field.modulus).tobytes(),
-                        int(field.device._n0p), Tr, Tc, interpret)
+                        int(field.device._n0p), Tr, Tc, interpret,
+                        out_digits)
     out = fn(w8, x8, *args)
     return out[:, :, :cols] if cols_p != cols else out
