@@ -100,7 +100,8 @@ class DeviceField:
         """Tile-kernel fast path for mul/add/sub, or None to fall back.
         Handles same-batch-shape operands and [L, 1...]-broadcast scalars
         (either side for commutative ops)."""
-        if not self._use_pallas_ops():
+        if not self._use_pallas_ops() or self.L < 8:
+            # Mosaic tile kernels need >= 8 sublanes (p32 has L = 2)
             return None
         a_sc = all(d == 1 for d in a.shape[1:])
         b_sc = all(d == 1 for d in b.shape[1:])
@@ -126,7 +127,7 @@ class DeviceField:
         """[L, nj] x [L, s] -> [L, nj*s] Montgomery outer product
         t[j*s + k] = outer[j]*inner[k] (factored power-table regeneration).
         Tile kernel on TPU; jnp broadcast elsewhere."""
-        if self._use_pallas_ops():
+        if self._use_pallas_ops() and self.L >= 8:
             from . import pallas_ops
             out = pallas_ops.outer_product_table(self, outer, inner)
             if out is not None:

@@ -106,6 +106,14 @@ class Hash:
         word-major digests [8, N].
         Equivalent of merkle `mergeVectorRows` (/root/reference/lib/Stark.ts:115).
         """
+        if _use_pallas_hash():
+            from . import pallas_hash
+            batch = vectors_std[0].shape[1]
+            if pallas_hash.supported(batch) and vectors_std[0].shape[0] >= 8:
+                # word build fused in-kernel: the serialized leaf buffer
+                # (a full copy of every committed vector) never exists
+                return pallas_hash.digest_limb_rows(
+                    list(vectors_std), element_size, self.algorithm)
         words = jnp.concatenate([elements_to_words(v) for v in vectors_std], axis=0)
         return self.digest_rows(words, element_size * len(vectors_std))
 
@@ -118,6 +126,13 @@ class Hash:
         """
         L, N = values_std.shape
         M = N // 4
+        if _use_pallas_hash():
+            from . import pallas_hash
+            if pallas_hash.supported(M) and L >= 8:
+                # quarter slices expressed as block-index-mapped views of
+                # the ONE input — no strided-slice materialization
+                return pallas_hash.digest_stride4_rows(
+                    values_std, element_size, self.algorithm)
         cols = [elements_to_words(values_std[:, k * M:(k + 1) * M]) for k in range(4)]
         words = jnp.concatenate(cols, axis=0)   # [4*L/2, M]
         return self.digest_rows(words, element_size * 4)

@@ -129,17 +129,19 @@ def _blake2s_kernel(*args, n_words, msg_bytes, tb, limbs_per_elem=0):
         out_ref[i:i + 1, :] = h[i]
 
 
-def _sha256_kernel(msg_ref, out_ref, *, n_words, msg_bytes, tb):
+def _sha256_kernel(*args, n_words, msg_bytes, tb, limbs_per_elem=0):
+    *refs, out_ref = args
     n_blocks = (msg_bytes + 9 + 63) // 64
     term_word = msg_bytes // 4
     term_be = np.uint32(int(_bswap(np.uint32(0x80 << ((msg_bytes % 4) * 8)))))
     bitlen = msg_bytes * 8
+    raw = _raw_word_fn(tuple(refs), n_words, tb, limbs_per_elem)
 
     def word(i):
         # BE word i of the padded message, synthesized from static index
         base = None
         if i < n_words:
-            base = _bswap(msg_ref[i:i + 1, :])
+            base = _bswap(raw(i))
         extra = np.uint32(0)
         if i == term_word:
             extra = term_be
@@ -192,6 +194,67 @@ def _digest_call(algorithm: str, n_words: int, msg_bytes: int, batch: int,
         interpret=interpret,
     )
     return jax.jit(call)
+
+
+@lru_cache(maxsize=None)
+def _digest_limbs_call(algorithm: str, n_vec: int, L: int, msg_bytes: int,
+                       batch: int, interpret: bool, stride4: bool):
+    """Leaf/row hashing straight off the standard-form limb arrays: the
+    LE-word message build (lo | hi << 16) happens in-kernel, so the
+    serialized leaf buffer (elements_to_words + concatenate — a full copy
+    of all committed data, ~29 ms per 2^24-domain commit) never exists.
+
+    stride4: the four 'vectors' are the quarters of ONE [L, 4*B] array
+    (FRI row hashing) — expressed as four block-index-mapped views of the
+    same input, so the strided quarter slices are never materialized."""
+    tb = min(_lanes(), batch)
+    kern = _blake2s_kernel if algorithm == "blake2s256" else _sha256_kernel
+    n_words = msg_bytes // 4
+    if stride4:
+        nb = batch // tb
+
+        def spec(k):
+            return pl.BlockSpec((L, tb), lambda i, _k=k: (0, i + _k * nb),
+                                memory_space=pltpu.VMEM)
+        in_specs = [spec(k) for k in range(4)]
+    else:
+        in_specs = [pl.BlockSpec((L, tb), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)] * n_vec
+    call = pl.pallas_call(
+        partial(kern, n_words=n_words, msg_bytes=msg_bytes, tb=tb,
+                limbs_per_elem=L),
+        out_shape=jax.ShapeDtypeStruct((8, batch), jnp.uint32),
+        grid=(batch // tb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((8, tb), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
+def digest_limb_rows(vectors, element_size: int, algorithm: str,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Hash.merge_element_rows without the host-side word assembly:
+    vectors = V standard-form limb arrays [L, B]; message of column i is
+    the little-endian element bytes of every vector at i, concatenated."""
+    V = len(vectors)
+    L, batch = vectors[0].shape
+    call = _digest_limbs_call(algorithm, V, L, element_size * V, batch,
+                              interpret, False)
+    return call(*vectors)
+
+
+def digest_stride4_rows(values, element_size: int, algorithm: str,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Hash.digest_stride_rows without materializing the quarter slices:
+    values [L, N] -> [8, N/4], row r = H(v[r] || v[r+M] || v[r+2M] ||
+    v[r+3M]) with M = N/4."""
+    L, N = values.shape
+    M = N // 4
+    call = _digest_limbs_call(algorithm, 4, L, element_size * 4, M,
+                              interpret, True)
+    return call(values, values, values, values)
 
 
 @lru_cache(maxsize=None)

@@ -162,9 +162,10 @@ def _use_pallas() -> bool:
 # ------------------------------------------------------ MXU multi-level NTT
 @lru_cache(maxsize=None)
 def _use_mxu() -> bool:
-    """MXU (int8-matmul) DFT locals for the 128-bit field (ntt/mxu.py).
-    GENSTARK_MXU=0 disables, =1 forces (the XLA reference path runs the
-    identical math on CPU); default: on wherever the Pallas kernels are."""
+    """MXU (int8-matmul) DFT locals for the solinas-foldable fields — p128
+    and p32 (ntt/mxu.py).  GENSTARK_MXU=0 disables, =1 forces (the XLA
+    reference path runs the identical math on CPU); default: on wherever
+    the Pallas kernels are."""
     import os
     v = os.environ.get("GENSTARK_MXU")
     if v is not None:
@@ -213,7 +214,7 @@ def _equal_split(bits: int, q: int):
 
 
 @lru_cache(maxsize=None)
-def mxu_levels(n: int):
+def mxu_levels(n: int, element_size: int = 16):
     """Level sizes for the multi-level MXU decomposition of an n-point
     transform — EVERY level is a digit-matmul DFT on the MXU (the kernel
     accepts any power-of-two m: whole-array blocks are legal below the
@@ -221,18 +222,17 @@ def mxu_levels(n: int):
 
     The bit count splits into q near-equal levels with q chosen by a
     measured cost model: per point, a level of size m costs
-    m * D^2 / rate(m) of MAC time plus a fixed overhead (digit encode,
+    m * D^2 / rate(m) of MAC time (D = element_size + 1 signed base-256
+    digits — 17 for p128, 5 for p32) plus a fixed overhead (digit encode,
     int8 transpose, epilogue).  Fewer, larger levels spend more MACs but
-    fewer passes — on v5e the model picks 3x256 over 4x64 at 2^24
-    (measured 63 vs 88 ms).  None when n is too small."""
+    fewer passes.  None when n is too small."""
     bits = n.bit_length() - 1
     if bits < 7:                 # < 128 points: not worth a digit matmul
         return None
     lb = _mxu_level_bits()
     if lb is not None:
         return _equal_split(bits, max(1, -(-bits // lb)))
-    from .mxu import N_DIAGS
-    d2 = ((N_DIAGS + 1) // 2) ** 2
+    d2 = (element_size + 1) ** 2
     best, best_cost = None, None
     for q in range(1, bits + 1):
         levels = _equal_split(bits, q)
@@ -246,8 +246,10 @@ def mxu_levels(n: int):
 
 
 def mxu_applicable(field: PrimeField, n: int) -> bool:
-    return (_use_mxu() and field.element_size == 16 and n >= _mxu_min_n()
-            and mxu_levels(n) is not None)
+    from .mxu import solinas_spec
+    return (_use_mxu() and solinas_spec(field.modulus) is not None
+            and n >= _mxu_min_n()
+            and mxu_levels(n, field.element_size) is not None)
 
 
 def mxu_table_specs(field: PrimeField, n: int, root: int, scale: int = 1):
@@ -263,7 +265,7 @@ def mxu_table_specs(field: PrimeField, n: int, root: int, scale: int = 1):
     factored twiddle A[k, h] = w_l^(k*h*s), B[k, t] = w_l^(k*t) is
     O(sqrt(rest)) entries instead of the O(n) panel."""
     from .mxu import level_tc, twiddle_split
-    levels = mxu_levels(n)
+    levels = mxu_levels(n, field.element_size)
     p = field.modulus
     root %= p
     w8_roots = []
@@ -294,7 +296,7 @@ class MxuPlan:
     def __init__(self, field: PrimeField, n: int, root: int, scale: int = 1):
         from . import mxu
         w8_roots, ab = mxu_table_specs(field, n, root, scale)
-        levels = mxu_levels(n)
+        levels = mxu_levels(n, field.element_size)
         params = field.params
         w8s = []
         for lvl, (m, w8_root) in enumerate(zip(levels, w8_roots)):
@@ -360,7 +362,7 @@ def mxu_transform_core(field: PrimeField, a: jnp.ndarray, n: int,
     into its epilogue.  Intermediate data never round-trips through u32
     transposes: the only u32 reorder is the single final transpose to
     natural order."""
-    levels = mxu_levels(n)
+    levels = mxu_levels(n, field.element_size)
     q = len(levels)
     L = a.shape[-2]
     batch_shape = a.shape[:-2]
@@ -380,7 +382,7 @@ def mxu_transform_core(field: PrimeField, a: jnp.ndarray, n: int,
         # exists only before level 0 and the inter-level transpose moves
         # 17 int8 planes instead of 8 u32 limbs (~47% less HBM traffic)
         d = curv if digit_native else mxu.encode_digits(curv)
-        d = jnp.transpose(d, (0, 2, 1, 3)).reshape(mxu.D128, m, pre * rest)
+        d = jnp.transpose(d, (0, 2, 1, 3)).reshape(d.shape[0], m, pre * rest)
         tw = tabs["ab"][lvl] if rest > 1 else None
         out_dig = lvl < q - 1
         o = mxu.run_dft_level(field, tabs["w8s"][lvl], d, m, rest, tw,
@@ -507,7 +509,10 @@ def ntt_core_table(field: PrimeField, a: jnp.ndarray, n: int,
     dev = field.device
     if n == 1:
         return a
-    if _use_pallas() and _four_step_local(n):
+    # Mosaic requires >= 8 sublanes per block: small-limb fields (p32: L=2)
+    # run the jnp formulation (their MXU path covers the large transforms)
+    use_pallas = _use_pallas() and a.shape[-2] >= 8
+    if use_pallas and _four_step_local(n):
         # Large transforms run as a LOCAL 4-step (Bailey) decomposition
         # n = n1*n2: batched n1-point NTTs (slow axis), one twiddle
         # multiply by w^(k1*i2), batched n2-point NTTs (minor axis), final
@@ -535,7 +540,7 @@ def ntt_core_table(field: PrimeField, a: jnp.ndarray, n: int,
         return x.reshape(batch_shape + (L, n)) if batch_shape else x[0]
 
     half = n // 2
-    if _use_pallas():
+    if use_pallas:
         # all stages with m <= _MBLK in one multi-stage VMEM kernel, the
         # remaining large-m stages as split-operand kernels
         from .pallas_kernels import butterfly_stage2, multistage

@@ -1,5 +1,5 @@
-"""MXU (int8-matmul) modular DFT — the production NTT core for the 128-bit
-field on TPU.
+"""MXU (int8-matmul) modular DFT — the production NTT core for the
+solinas-foldable fields (p128 AND p32) on TPU.
 
 The VPU butterfly kernels are compute-bound at ~888M Montgomery muls/s
 (ROOFLINE_r03.json); the MXU executes s8 x s8 -> s32 matmuls two orders of
@@ -12,15 +12,19 @@ so the transform's hot loop rides the MXU ("tensor-core NTT" family, adapted
 to TPU int8 matmuls; replaces galois's WASM `evalPolysAtRoots` /
 `interpolateRoots` consumed at /root/reference/lib/Stark.ts:106-109):
 
-- W and x are decomposed into D = 17 signed base-256 digits (int8; balanced
-  recode, digits in [-128, 127], top digit in {0, 1}),
+- W and x are decomposed into D = element_size + 1 signed base-256 digits
+  (int8; balanced recode, digits in [-128, 127], top digit in {0, 1}) —
+  17 for the 128-bit field, 5 for the 32-bit field,
 - the D x D digit products are s8 matmuls accumulated in s32: max
-  |S_k| <= 17 * m * 128^2 < 2^30 for local size m <= 2048 -> no overflow,
-- the 33 digit-diagonal sums S_k recombine as sum_k S_k * 2^(8k) into lazy
-  16-bit limbs (bias 2^30 makes them nonnegative; a precomputed correction
-  constant cancels the bias mod p),
-- the ~290-bit integer reduces mod p128 = 2^128 - 9*2^32 + 1 by solinas
-  folding: hi * 2^128 == hi * (9*2^32 - 1).
+  |S_k| <= D * m * 128^2 < 2^30 for local size m <= 2048 -> no overflow,
+- the 2D-1 digit-diagonal sums S_k recombine as sum_k S_k * 2^(8k) into
+  lazy 16-bit limbs (bias 2^30 makes them nonnegative; a precomputed
+  correction constant cancels the bias mod p),
+- the wide integer reduces by solinas folding for any supported modulus
+  p = 2^(16L) - u*2^(16a) + 1 with u < 2^16 (see `solinas_spec`):
+  hi * 2^(16L) == hi * (u*2^(16a) - 1); small fields chunk-reduce via tiny
+  in-kernel Montgomery multiplies first (the fold tail converges slowly
+  when u*2^(16a) is close to 2^(16L)).
 
 Values are representation-agnostic: the DFT is linear, so Montgomery-form
 inputs produce Montgomery-form outputs bit-identical to the VPU butterfly
@@ -58,7 +62,33 @@ N_DIAGS = 2 * D128 - 1       # 33 digit-diagonal sums
 _M16 = np.uint32(LIMB_MASK)
 _BIAS = np.int32(1 << 30)    # |S_k| <= 17 * m * 2^14 < 2^30 for m <= 2048
 MAX_M = 2048                 # s32-accumulator + bias bound (see module doc)
-_N_LAZY = 20                 # 16-bit lazy limbs covering 8*32 + 32 bits
+
+
+@lru_cache(maxsize=None)
+def solinas_spec(modulus: int):
+    """Kernel-family parameters for a supported modulus, or None.
+
+    Supported: p = 2^(16L) - t with t + 1 = u * 2^(16a), u < 2^16 — then
+    the fold hi*2^(16L) -> hi*t is a limb-shifted small multiply minus hi
+    (p128 = 2^128 - 9*2^32 + 1: u=9, a=2; p32 = 2^32 - 3*2^25 + 1:
+    u=1536, a=1).  Returns (L 16-bit limbs, D signed base-256 digits,
+    n_diags, u, a)."""
+    eb = (modulus.bit_length() + 7) // 8
+    if eb % 2 or (1 << (8 * eb)) < modulus:
+        return None
+    L = eb // 2
+    t = (1 << (16 * L)) - modulus
+    if t <= 0:
+        return None
+    tp = t + 1
+    a = 0
+    while tp % (1 << 16) == 0 and tp:
+        tp >>= 16
+        a += 1
+    if tp >= (1 << 16):
+        return None
+    D = eb + 1
+    return L, D, 2 * D - 1, tp, a
 
 
 # --------------------------------------------------------------------- digits
@@ -69,40 +99,43 @@ def _w_digits_np(modulus: int, m: int, root: int, scale: int) -> np.ndarray:
     `scale` folds a uniform constant (e.g. the iNTT's n^-1) into the matrix
     for free.  Host-built: m pow-mods for the power table, then vectorized
     byte recode."""
-    tab = np.zeros((m, 16), dtype=np.uint8)
+    L, D, _, _, _ = solinas_spec(modulus)
+    eb = 2 * L
+    tab = np.zeros((m, eb), dtype=np.uint8)
     cur = scale % modulus
     for j in range(m):
-        tab[j] = np.frombuffer(cur.to_bytes(16, "little"), dtype=np.uint8)
+        tab[j] = np.frombuffer(cur.to_bytes(eb, "little"), dtype=np.uint8)
         cur = (cur * root) % modulus
     r = np.arange(m, dtype=np.int64)
     E = (r[:, None] * r[None, :]) % m                   # exponent mod m
-    bytes_ = tab[E]                                     # [m, m, 16] u8
-    digs = np.zeros((D128, m, m), dtype=np.int8)
+    bytes_ = tab[E]                                     # [m, m, eb] u8
+    digs = np.zeros((D, m, m), dtype=np.int8)
     carry = np.zeros((m, m), dtype=np.int16)
-    for i in range(16):
+    for i in range(eb):
         t = bytes_[:, :, i].astype(np.int16) + carry
         ge = t >= 128
         digs[i] = (t - ge * 256).astype(np.int8)
         carry = ge.astype(np.int16)
-    digs[16] = carry.astype(np.int8)
+    digs[eb] = carry.astype(np.int8)
     return digs
 
 
 def w_digits(field: PrimeField, m: int, root: int, scale: int = 1) -> np.ndarray:
-    assert field.element_size == 16, "MXU DFT supports the 128-bit field"
+    assert solinas_spec(field.modulus) is not None, \
+        "MXU DFT needs a solinas-foldable modulus (see solinas_spec)"
     assert m <= MAX_M, f"m={m} exceeds the s32 accumulator bound ({MAX_M})"
     return _w_digits_np(field.modulus, m, root % field.modulus,
                         scale % field.modulus)
 
 
 def encode_digit_rows(limbs: List[jnp.ndarray]) -> List[jnp.ndarray]:
-    """8 u32 16-bit-limb arrays (canonical) -> 17 int8 balanced base-256
+    """L u32 16-bit-limb arrays (canonical) -> 2L+1 int8 balanced base-256
     digit arrays (x = sum d_i 256^i, top digit in {0, 1}).  Pure
     elementwise — runs identically on VMEM tiles inside a Pallas kernel
     (the digit-emitting epilogue) and in the XLA reference path."""
     digs = []
     c = jnp.zeros_like(limbs[0], dtype=jnp.int32)
-    for t in range(8):
+    for t in range(len(limbs)):
         limb = limbs[t].astype(jnp.int32)
         for half in range(2):
             b = (limb >> (8 * half)) & 0xFF
@@ -115,9 +148,9 @@ def encode_digit_rows(limbs: List[jnp.ndarray]) -> List[jnp.ndarray]:
 
 
 def encode_digits(x: jnp.ndarray) -> jnp.ndarray:
-    """u32[L=8, ...] 16-bit limbs -> int8[17, ...] balanced base-256 digits
+    """u32[L, ...] 16-bit limbs -> int8[2L+1, ...] balanced base-256 digits
     (x = sum d_i 256^i with the top digit in {0, 1})."""
-    return jnp.stack(encode_digit_rows([x[t] for t in range(8)]))
+    return jnp.stack(encode_digit_rows([x[t] for t in range(x.shape[0])]))
 
 
 # ------------------------------------------------------------------- epilogue
@@ -136,24 +169,25 @@ def _propagate(limbs: List[jnp.ndarray], extra: int = 2) -> List[jnp.ndarray]:
     return out
 
 
-def _fold_p128_once(strict: List[jnp.ndarray]) -> List[jnp.ndarray]:
-    """One solinas fold on STRICT 16-bit limbs:
-    value = lo + hi*9*2^32 - hi  (nonnegative; hi*9*2^32 >= hi).
-    No-op (identity) when len <= 8."""
-    if len(strict) <= 8:
+def _fold_once(strict: List[jnp.ndarray], L: int, u: int,
+               a: int) -> List[jnp.ndarray]:
+    """One solinas fold on STRICT 16-bit limbs for p = 2^(16L) - t,
+    t = u*2^(16a) - 1:  value = lo + hi*u*2^(16a) - hi  (nonnegative:
+    hi*u*2^(16a) >= hi).  No-op (identity) when len <= L."""
+    if len(strict) <= L:
         return strict
-    lo, hi = strict[:8], strict[8:]
-    # A = 9*hi << 32 as strict limbs
-    A_lazy = [jnp.zeros_like(lo[0])] * 2 + [h * np.uint32(9) for h in hi]
+    lo, hi = strict[:L], strict[L:]
+    # A = u*hi << 16a as strict limbs (u < 2^16 -> lazy products < 2^32)
+    A_lazy = [jnp.zeros_like(lo[0])] * a + [h * np.uint32(u) for h in hi]
     A = _propagate(A_lazy, extra=1)
-    if len(A) < 8:
-        A += [jnp.zeros_like(lo[0])] * (8 - len(A))
+    if len(A) < L:
+        A += [jnp.zeros_like(lo[0])] * (L - len(A))
     # A - hi with borrow chain (integer-nonnegative => final borrow is 0)
     B = hi + [jnp.zeros_like(lo[0])] * (len(A) - len(hi))
     diff = []
     borrow = jnp.zeros_like(lo[0])
-    for a, b in zip(A, B):
-        s = a - b - borrow
+    for x, y in zip(A, B):
+        s = x - y - borrow
         diff.append(s & _M16)
         borrow = (s >> np.uint32(31)) & np.uint32(1)
     # + lo (lazy), then re-propagate to strict
@@ -164,13 +198,14 @@ def _fold_p128_once(strict: List[jnp.ndarray]) -> List[jnp.ndarray]:
 
 def _trim(strict: List[jnp.ndarray], p_limbs: np.ndarray,
           n_sub: int = 2) -> jnp.ndarray:
-    """Strict limbs, value < (n_sub+1)*p representable in the low 8 limbs
-    -> canonical [8, ...] via n_sub conditional subtracts."""
-    out = jnp.stack(strict[:8])
+    """Strict limbs, value < (n_sub+1)*p representable in the low L limbs
+    -> canonical [L, ...] via n_sub conditional subtracts."""
+    L = len(p_limbs)
+    out = jnp.stack(strict[:L])
     for _ in range(n_sub):
         diff = []
         borrow = jnp.zeros_like(out[0])
-        for j in range(8):
+        for j in range(L):
             s = out[j] - np.uint32(p_limbs[j]) - borrow
             diff.append(s & _M16)
             borrow = (s >> np.uint32(31)) & np.uint32(1)
@@ -181,39 +216,46 @@ def _trim(strict: List[jnp.ndarray], p_limbs: np.ndarray,
 
 @lru_cache(maxsize=None)
 def _bias_correction(modulus: int) -> np.ndarray:
-    """u32[8] 16-bit limbs of (-BIAS * sum_k 2^(8k)) mod p: adding this to
+    """u32[L] 16-bit limbs of (-BIAS * sum_k 2^(8k)) mod p: adding this to
     the biased diagonal recombination cancels the bias exactly mod p."""
-    total = int(_BIAS) * sum(1 << (8 * k) for k in range(N_DIAGS))
+    L, _, nd, _, _ = solinas_spec(modulus)
+    total = int(_BIAS) * sum(1 << (8 * k) for k in range(nd))
     corr = (-total) % modulus
-    out = np.zeros(8, dtype=np.uint32)
-    for j in range(8):
+    out = np.zeros(L, dtype=np.uint32)
+    for j in range(L):
         out[j] = (corr >> (16 * j)) & 0xFFFF
     return out
 
 
 def diags_to_limbs(acc: List[jnp.ndarray], p_limbs: np.ndarray,
-                   corr: np.ndarray) -> jnp.ndarray:
-    """33 signed s32 digit-diagonal sums S_k [..] -> canonical u32[8, ..]
-    16-bit limbs of (sum_k S_k 2^(8k)) mod p128.
+                   corr: np.ndarray, modulus: int,
+                   n0p: int = 0) -> jnp.ndarray:
+    """2D-1 signed s32 digit-diagonal sums S_k [..] -> canonical u32[L, ..]
+    16-bit limbs of (sum_k S_k 2^(8k)) mod p (p128: 33 diagonals -> 8
+    limbs; p32: 9 -> 2).
 
     Each S_k is biased by 2^30 (making it a u32 < 2^31), placed into lazy
     16-bit limbs at bit offset 8k, the precomputed correction constant
-    cancels the total bias mod p, and solinas folds + two conditional
-    subtracts reduce the < 2^288 integer to canonical form.  The fold
-    count and per-fold limb lengths follow a STATIC value-bound: each fold
-    maps value = lo + hi*2^128 (lo < 2^128) to lo + hi*(9*2^32 - 1), so
-    bound' = 2^128 - 1 + (bound >> 128)*(9*2^32 - 1), and limbs above the
-    bound are provably zero and truncated — 4 ever-shorter folds instead
-    of the previous fixed 6, a ~40% cut of the (VPU-bound at small m)
-    epilogue.  Pure elementwise jnp — runs identically inside a Pallas
-    kernel (VMEM tiles) and in the XLA reference path."""
-    limbs = [jnp.zeros_like(acc[0], dtype=jnp.uint32) for _ in range(_N_LAZY)]
-    for j in range(8):
+    cancels the total bias mod p, and solinas folds + one conditional
+    subtract reduce the wide integer to canonical form.  The fold count
+    and per-fold limb lengths follow a STATIC value-bound: each fold maps
+    value = lo + hi*2^(16L) (lo < 2^(16L)) to lo + hi*t, so bound' =
+    min(2^(16L) - 1 + (bound >> 16L)*t,
+        max(2^(16L) - 1, bound - 2^(16L) + t)), and limbs above the bound
+    are provably zero and truncated — 3 ever-shorter folds for p128
+    (was a fixed 6), a ~40% cut of the (VPU-bound at small m) epilogue.
+    Pure elementwise jnp — runs identically inside a Pallas kernel (VMEM
+    tiles) and in the XLA reference path."""
+    L, _, nd, u, a = solinas_spec(modulus)
+    w = 16 * L
+    n_lazy = (8 * (nd - 1) + 31) // LIMB_BITS + 2
+    limbs = [jnp.zeros_like(acc[0], dtype=jnp.uint32) for _ in range(n_lazy)]
+    for j in range(L):
         limbs[j] = limbs[j] + np.uint32(corr[j])
-    for k in range(N_DIAGS):
-        a = (acc[k] + _BIAS).astype(jnp.uint32)        # < 2^31
-        lo = a & _M16
-        hi = a >> np.uint32(LIMB_BITS)                 # < 2^15
+    for k in range(nd):
+        v = (acc[k] + _BIAS).astype(jnp.uint32)        # < 2^31
+        lo = v & _M16
+        hi = v >> np.uint32(LIMB_BITS)                 # < 2^15
         for part, extra_bits in ((lo, 0), (hi, LIMB_BITS)):
             bit = k * DIGIT_BITS + extra_bits
             pidx, off = bit // LIMB_BITS, bit % LIMB_BITS
@@ -221,22 +263,38 @@ def diags_to_limbs(acc: List[jnp.ndarray], p_limbs: np.ndarray,
             limbs[pidx] = limbs[pidx] + (sh & _M16)
             limbs[pidx + 1] = limbs[pidx + 1] + (sh >> np.uint32(LIMB_BITS))
     strict = _propagate(limbs, extra=2)
-    # integer bound at entry: corr < p plus 33 biased diagonals < 2^31 each
-    bound = (1 << 128) + sum((1 << 31) << (8 * k) for k in range(N_DIAGS))
-    c = 9 * (1 << 32) - 1
-    while bound >> 128:
-        strict = _fold_p128_once(strict)
-        # value' = lo + hi*c with lo = value - hi*2^128 < 2^128: bound via
-        # the generic split (lo <= 2^128-1, hi <= bound >> 128) AND via the
-        # worst single case (hi <= 1 near the end), whichever is tighter —
-        # the min proves THREE folds reduce the 2^288 entry bound below
-        # 2^128 (then two conditional subtracts finish: 2^128 < 3p)
-        generic = (1 << 128) - 1 + (bound >> 128) * c
-        tight = max((1 << 128) - 1, bound - (1 << 128) + c)
+    # integer bound at entry: corr < p plus nd biased diagonals < 2^31 each
+    bound = (1 << w) + sum((1 << 31) << (8 * k) for k in range(nd))
+    t = u * (1 << (16 * a)) - 1
+    if L <= 2 and len(strict) > 2 * L:
+        # small fields (p32): the solinas tail t is only ~2^5 below
+        # 2^(16L), so each plain fold sheds ~5 bits — a dozen folds for the
+        # 95-bit diagonal value.  Instead reduce every 2^(16L)-chunk with
+        # one TINY Montgomery multiply against (2^(16L*j) * R) mod p (the
+        # fiat_shamir.digest_words_to_field_mont trick; a chunk < 2^(16L)
+        # is a legal operand), then let the fold loop finish the
+        # < 2^(16L) + n*p remainder in ~2 folds
+        from .pallas_kernels import _mont_mul_limbs
+        n_ch = -(-len(strict) // L)
+        strict = strict + [jnp.zeros_like(strict[0])] * \
+            (n_ch * L - len(strict))
+        out = list(strict[:L])
+        for j in range(1, n_ch):
+            cj = (pow(2, w * j, modulus) * pow(2, w, modulus)) % modulus
+            cl = [np.uint32((cj >> (16 * i)) & 0xFFFF) for i in range(L)]
+            red = _mont_mul_limbs(strict[L * j:L * (j + 1)], cl, p_limbs,
+                                  np.uint32(n0p))
+            out = [out[i] + red[i] for i in range(L)]   # sums < n_ch * 2^16
+        strict = _propagate(out, extra=1)
+        bound = (1 << w) + (n_ch - 1) * modulus
+    while bound >> w:
+        strict = _fold_once(strict, L, u, a)
+        generic = (1 << w) - 1 + (bound >> w) * t
+        tight = max((1 << w) - 1, bound - (1 << w) + t)
         bound = min(generic, tight)
-        n_limbs = max(9, -(-bound.bit_length() // LIMB_BITS) + 1)
+        n_limbs = max(L + 1, -(-bound.bit_length() // LIMB_BITS) + 1)
         strict = strict[:n_limbs]
-    # post-fold value < 2^128 < 2p -> ONE conditional subtract canonicalizes
+    # post-fold value < 2^(16L) < 2p -> ONE conditional subtract
     return _trim(strict, p_limbs, n_sub=1)
 
 
@@ -247,21 +305,23 @@ def mxu_dft_ref(field: PrimeField, y: jnp.ndarray, m: int,
     shape, any representation); w8: int8[D, m, m].  Returns [..., L, m]."""
     batch_shape = y.shape[:-2]
     L = y.shape[-2]
+    D = 2 * L + 1
     x = y.reshape((-1, L, m)) if batch_shape else y[None]
     B = x.shape[0]
     x8 = encode_digits(jnp.moveaxis(x, 1, 0))          # [D, B, m]
-    x8 = jnp.moveaxis(x8, -1, 1).reshape(D128, m, B)   # [D, m, B]
-    acc = [None] * N_DIAGS
-    for i in range(D128):
-        for j in range(D128):
+    x8 = jnp.moveaxis(x8, -1, 1).reshape(D, m, B)      # [D, m, B]
+    acc = [None] * (2 * D - 1)
+    for i in range(D):
+        for j in range(D):
             prod = jax.lax.dot_general(
                 w8[i], x8[j], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)      # [m, B]
             k = i + j
             acc[k] = prod if acc[k] is None else acc[k] + prod
     out = diags_to_limbs(acc, field.device._p_np,
-                         _bias_correction(field.modulus))   # [8, m, B]
-    out = jnp.transpose(out, (2, 0, 1))                     # [B, 8, m]
+                         _bias_correction(field.modulus), field.modulus,
+                         int(field.device._n0p))       # [L, m, B]
+    out = jnp.transpose(out, (2, 0, 1))                     # [B, L, m]
     return out.reshape(batch_shape + (L, m)) if batch_shape else out[0]
 
 
@@ -310,12 +370,13 @@ def _make_dft_kernel(m: int, B: int, rest: int, s: int, p_limbs_bytes: bytes,
     p_limbs = np.frombuffer(p_limbs_bytes, dtype=np.uint32)
     corr = np.frombuffer(corr_bytes, dtype=np.uint32)
     n0p = np.uint32(n0p_int)
-    D = D128
-    L = 8
+    L = len(p_limbs)
+    D = 2 * L + 1
+    modulus = sum(int(p_limbs[i]) << (16 * i) for i in range(L))
     mode = "none" if rest <= 1 else ("direct" if s == 0 else "fact")
 
     def dft_tile(w_ref, x_ref):
-        acc = [None] * N_DIAGS
+        acc = [None] * (2 * D - 1)
         for i in range(D):
             w_i = w_ref[i]                             # [Tr, m]
             for j in range(D):
@@ -324,10 +385,11 @@ def _make_dft_kernel(m: int, B: int, rest: int, s: int, p_limbs_bytes: bytes,
                     preferred_element_type=jnp.int32)  # [Tr, Tc]
                 k = i + j
                 acc[k] = prod if acc[k] is None else acc[k] + prod
-        return diags_to_limbs(acc, p_limbs, corr)      # [8, Tr, Tc]
+        return diags_to_limbs(acc, p_limbs, corr, modulus,
+                              n0p_int)                 # [L, Tr, Tc]
 
     def emit(out_ref, res):
-        """res: 8 canonical u32 limb tiles.  out_digits: re-encode to int8
+        """res: L canonical u32 limb tiles.  out_digits: re-encode to int8
         digit planes in VMEM (the next level consumes digits directly —
         deletes the standalone encode pass and shrinks the inter-level
         transpose from u32 to int8)."""
@@ -375,7 +437,7 @@ def _make_dft_kernel(m: int, B: int, rest: int, s: int, p_limbs_bytes: bytes,
             lambda r, c: (jax.lax.div(jax.lax.rem(c, X), sT), 0, r)))
         in_specs.append(pl.BlockSpec(
             (L, Tr, Tc), lambda r, c: (0, r, jax.lax.rem(c, sT))))
-    n_out = D128 if out_digits else 8
+    n_out = D if out_digits else L
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
@@ -408,7 +470,7 @@ def mxu_dft(field: PrimeField, y: jnp.ndarray, m: int, w8: jnp.ndarray,
     x8 = encode_digits(jnp.moveaxis(x, 1, 0))          # [D, B, m]
     x8 = jnp.moveaxis(x8, -1, 1)                       # [D, m, B]
     out = run_dft_level(field, w8, x8, m, 1, None, interpret)
-    out = jnp.transpose(out, (2, 0, 1))                # [B, 8, m]
+    out = jnp.transpose(out, (2, 0, 1))                # [B, L, m]
     return out.reshape(batch_shape + (L, m)) if batch_shape else out[0]
 
 
@@ -418,29 +480,32 @@ def _run_dft_level_ref(field: PrimeField, w8: jnp.ndarray, x8: jnp.ndarray,
     """Plain-XLA level (CPU correctness path): same math as the Pallas
     kernel — digit dots, shared epilogue, direct or factored twiddle."""
     dev = field.device
+    L = dev.L
+    D = 2 * L + 1
     cols = x8.shape[2]
-    acc = [None] * N_DIAGS
-    for i in range(D128):
-        for j in range(D128):
+    acc = [None] * (2 * D - 1)
+    for i in range(D):
+        for j in range(D):
             prod = jax.lax.dot_general(
                 w8[i], x8[j], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)      # [m, cols]
             k = i + j
             acc[k] = prod if acc[k] is None else acc[k] + prod
-    out = diags_to_limbs(acc, dev._p_np, _bias_correction(field.modulus))
+    out = diags_to_limbs(acc, dev._p_np, _bias_correction(field.modulus),
+                         field.modulus, int(dev._n0p))
     if rest > 1:
         if "p" in tw:                                  # direct panel [L,m,Tc]
             P = tw["p"]
-            ov = out.reshape(8, m, cols // rest, rest)
+            ov = out.reshape(L, m, cols // rest, rest)
             ov = dev.mont_mul(ov, P[:, :, None, :rest])
         else:
             A = jnp.transpose(tw["a"], (1, 2, 0))      # [h, L, m] -> [L, m, h]
             Bt = tw["b"]
             s = Bt.shape[-1]
-            ov = out.reshape(8, m, cols // rest, rest // s, s)
+            ov = out.reshape(L, m, cols // rest, rest // s, s)
             ov = dev.mont_mul(ov, A[:, :, None, :, None])
             ov = dev.mont_mul(ov, Bt[:, :, None, None, :])
-        out = ov.reshape(8, m, cols)
+        out = ov.reshape(L, m, cols)
     if out_digits:
         return encode_digits(out)
     return out

@@ -151,6 +151,8 @@ def lcomb_tail(dev, qe, b_stack, e_std, dom_parts, incr_parts, inv_series,
     standard-form, l_coeffs [L, nl] Montgomery transcript coefficients
     (see the module docstring's representation contract)."""
     L, Ne = qe.shape
+    if L < 8:
+        return None          # Mosaic blocks need >= 8 sublanes (p32: L=2)
     s = dom_parts[1].shape[1]
     tc = min(_TC, s)
     if tc % 256 or Ne % tc or tc % ext or s % tc:

@@ -143,3 +143,96 @@ def test_mxu_multilevel_matches_production(field, monkeypatch):
         assert limbs_to_ints(np.asarray(back)) == vals
     finally:
         ntt._use_mxu.cache_clear()
+
+
+# ------------------------------------------------------------- p32 variant
+@pytest.fixture(scope="module")
+def field32():
+    from genstark_tpu.field import P32
+    return create_prime_field(P32)
+
+
+def test_solinas_spec():
+    from genstark_tpu.field import P32
+    assert mxu.solinas_spec(P128) == (8, 17, 33, 9, 2)
+    assert mxu.solinas_spec(P32) == (2, 5, 9, 1536, 1)
+
+
+@pytest.mark.parametrize("m,B", [(16, 3), (128, 2)])
+def test_mxu_dft_ref_p32_matches_oracle(field32, m, B):
+    f = field32.host
+    root = f.get_root_of_unity(m)
+    w8 = jnp.asarray(mxu.w_digits(field32, m, root))
+    rng = np.random.default_rng(29)
+    p = field32.modulus
+    cols = [[int(v) % p for v in rng.integers(0, 1 << 62, size=m)]
+            for _ in range(B)]
+    y = np.zeros((B, 2, m), dtype=np.uint32)
+    for b in range(B):
+        y[b] = ints_to_limbs(cols[b], 2)
+    out = mxu.mxu_dft_ref(field32, jnp.asarray(y), m, w8)
+    for b in range(B):
+        got = limbs_to_ints(np.asarray(out[b]))
+        assert got == _dft_oracle(field32, cols[b], root), f"column {b}"
+
+
+def test_mxu_dft_p32_extreme_values(field32):
+    m = 128
+    p = field32.modulus
+    root = field32.host.get_root_of_unity(m)
+    w8 = jnp.asarray(mxu.w_digits(field32, m, root))
+    y = np.asarray(ints_to_limbs([p - 1] * m, 2))[None]
+    out = mxu.mxu_dft_ref(field32, jnp.asarray(y), m, w8)
+    assert limbs_to_ints(np.asarray(out[0])) == \
+        _dft_oracle(field32, [p - 1] * m, root)
+
+
+def test_mxu_p32_pallas_interpret_matches_ref(field32):
+    m = 128
+    B = 256
+    p = field32.modulus
+    root = field32.host.get_root_of_unity(m)
+    w8 = jnp.asarray(mxu.w_digits(field32, m, root))
+    rng = np.random.default_rng(31)
+    vals = [int(v) % p for v in rng.integers(0, 1 << 62, size=m * B)]
+    y = np.asarray(ints_to_limbs(vals, 2)).reshape(2, m, B)
+    x8 = mxu.encode_digits(jnp.asarray(y))             # [D, m, B]
+    ref = mxu._run_dft_level_ref(field32, w8, x8, m, 1, None)
+    got = mxu.run_dft_level(field32, w8, x8, m, 1, None, interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+    # digit-emitting epilogue agrees too
+    refd = mxu._run_dft_level_ref(field32, w8, x8, m, 1, None,
+                                  out_digits=True)
+    gotd = mxu.run_dft_level(field32, w8, x8, m, 1, None, interpret=True,
+                             out_digits=True)
+    assert np.array_equal(np.asarray(gotd), np.asarray(refd))
+
+
+def test_mxu_multilevel_p32_matches_production(field32, monkeypatch):
+    """Full multi-level p32 transform (forced on, XLA ref dispatch on CPU)
+    is bit-identical to ntt_core_table, incl. the folded iNTT scale."""
+    n = 1 << 13
+    monkeypatch.setenv("GENSTARK_MXU", "1")
+    ntt._use_mxu.cache_clear()
+    try:
+        rng = np.random.default_rng(7)
+        p = field32.modulus
+        vals = [int(v) % p for v in rng.integers(0, 1 << 62, size=n)]
+        x = field32.device.from_ints(vals)
+        plan = ntt.get_plan(field32, n, False)
+        tabs = ntt.get_mxu_plan(field32, n, plan.w, 1).bundle()
+        got = field32.device.to_ints(jax.jit(
+            lambda a, t: ntt.mxu_transform_core(field32, a, n, t))(x, tabs))
+        want = field32.device.to_ints(jax.jit(
+            lambda a, w: ntt.ntt_core_table(field32, a, n, w))(
+                x, plan.w_table))
+        assert got == want
+        f = field32.host
+        itabs = ntt.get_mxu_plan(field32, n, f.inv(plan.w),
+                                 f.inv(n % p)).bundle()
+        back = jax.jit(
+            lambda a, t: ntt.mxu_transform_core(field32, a, n, t))(
+                jnp.asarray(np.asarray(ints_to_limbs(want, 2))), itabs)
+        assert limbs_to_ints(np.asarray(back)) == vals
+    finally:
+        ntt._use_mxu.cache_clear()
