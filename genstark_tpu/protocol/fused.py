@@ -216,9 +216,11 @@ class FusedProver:
         self._jit = None              # host-sampled full pipeline (fallback)
         self._jit_packed = None       # one-dispatch pipeline + packed tail
         self._jit_tail = None         # split-mode packed tail
-        self._jit_stages = (jax.jit(self._stage_commit),
-                            jax.jit(self._stage_lcomb),
-                            jax.jit(self._stage_fri)) if self._split else None
+        self._jit_stages = (
+            self._export_cached("stage_commit", self._stage_commit),
+            self._export_cached("stage_lcomb", self._stage_lcomb),
+            self._export_cached("stage_fri", self._stage_fri)) \
+            if self._split else None
 
         # Structure-level caps for the padded proof-extraction gather (the
         # actual per-proof counts vary slightly with Fiat-Shamir dedup, so
@@ -1163,6 +1165,89 @@ class FusedProver:
                                  roots_cat[0], roots_cat[1:])
 
     # --------------------------------------------------------------- assembly
+    # ------------------------------------------------- export (trace) cache
+    # Warm-start attribution on the tunnelled v5e (2^13 config, warm XLA
+    # cache): Python TRACING of the fused pipeline is ~58 s, XLA compile is
+    # served from the persistent cache, device load ~16 s.  jax.export
+    # serialization caches the traced module on disk, so a warm start
+    # deserializes StableHLO instead of re-running Python tracing.  The key
+    # hashes the package source, the AIR schema repr (frozen-dataclass IR —
+    # value-based, deterministic), and every config knob that shapes the
+    # program.  GENSTARK_EXPORT_CACHE=0 disables.
+    def _export_key(self, name: str) -> str:
+        import glob
+        import hashlib
+        import os
+        h = hashlib.sha256()
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for fn in sorted(glob.glob(os.path.join(pkg, "**", "*.py"),
+                                   recursive=True)):
+            with open(fn, "rb") as fh:
+                h.update(fh.read())
+        context = self.context
+        idx_gen = self.stark.index_generator
+        h.update(repr((
+            name, jax.__version__, jax.default_backend(),
+            self.field.modulus, context.trace_length, self.Ne,
+            context.extension_factor, repr(context.schema),
+            tuple(context.input_shapes),
+            tuple((a.step, a.register) for a in self.assertions),
+            idx_gen.exe_query_count, idx_gen.fri_query_count,
+            self.hash.algorithm, self._trace_scan_nseg, self._split,
+            self._chunk_elems, self._unchunk_ne,
+            sorted((k, v) for k, v in os.environ.items()
+                   if k.startswith("GENSTARK_")),
+        )).encode())
+        return h.hexdigest()[:32]
+
+    def _export_cached(self, name: str, fn):
+        """A jit-like callable backed by the on-disk jax.export cache.
+        Falls back to plain jax.jit on any export/deserialize failure
+        (version skew, unexported primitives) — correctness never depends
+        on the cache."""
+        import os
+        if os.environ.get("GENSTARK_EXPORT_CACHE") == "0" or \
+                self.mesh is not None:
+            return jax.jit(fn)
+        cache_dir = os.environ.get(
+            "GENSTARK_EXPORT_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "genstark_export"))
+        state = {"call": None}
+
+        def wrapper(*args):
+            if state["call"] is not None:
+                return state["call"](*args)
+            path = os.path.join(cache_dir, f"{name}-{self._export_key(name)}")
+            try:
+                with open(path, "rb") as fh:
+                    exp = jax.export.deserialize(fh.read())
+                state["call"] = jax.jit(exp.call)
+                return state["call"](*args)
+            except FileNotFoundError:
+                pass
+            except Exception:
+                pass                      # stale/corrupt blob: re-trace
+            jitted = jax.jit(fn)
+            try:
+                exp = jax.export.export(
+                    jitted,
+                    disabled_checks=[
+                        jax.export.DisabledSafetyCheck.custom_call(c)
+                        for c in ("tpu_custom_call", "Sharding",
+                                  "LayoutConstraint")])(*args)
+                os.makedirs(cache_dir, exist_ok=True)
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as fh:
+                    fh.write(exp.serialize())
+                os.replace(tmp, path)
+                state["call"] = jax.jit(exp.call)
+            except Exception:
+                state["call"] = jitted    # export unsupported: plain jit
+            return state["call"](*args)
+
+        return wrapper
+
     def _run_stages(self, trace_dev, statics_parts, i_polys_np, marks):
         """Split-mode stage dispatch (A commit, B lcomb, C fri) with the
         inter-stage memory releases; returns the proof-tail inputs."""
@@ -1226,13 +1311,15 @@ class FusedProver:
                 stage_out = self._run_stages(trace_dev, statics_parts,
                                              i_polys_np, marks)
                 if self._jit_tail is None:
-                    self._jit_tail = jax.jit(self._packed_tail)
+                    self._jit_tail = self._export_cached(
+                        "packed_tail", self._packed_tail)
                 packed_np = fetch(self._jit_tail(
                     stage_out[0], stage_out[1], stage_out[3], stage_out[2],
                     stage_out[4], stage_out[5]))
             else:
                 if self._jit_packed is None:
-                    self._jit_packed = jax.jit(self._pipeline_packed)
+                    self._jit_packed = self._export_cached(
+                        "pipeline_packed", self._pipeline_packed)
                 packed_np = fetch(self._jit_packed(
                     trace_dev, statics_parts, self._put16(i_polys_np),
                     self._get_pack(), self._get_mxund()))
@@ -1250,7 +1337,8 @@ class FusedProver:
                                              i_polys_np, marks)
             else:
                 if self._jit is None:
-                    self._jit = jax.jit(self._pipeline)
+                    self._jit = self._export_cached("pipeline",
+                                                    self._pipeline)
                 e_flat_, fri_cat_, e_std_, vals_cat_, roots_cat, _ = \
                     self._jit(trace_dev, statics_parts,
                               self._put16(i_polys_np), self._get_pack(),
