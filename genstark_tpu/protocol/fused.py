@@ -194,7 +194,7 @@ class FusedProver:
             # _scan_trace assumes n_seg * K == T exactly (statics reshape
             # [Kr, L, n_seg, K]); a non-divisor would crash mid-prove
             nseg = max(1, min(T // 2, int(os.environ.get(
-                "GENSTARK_TRACE_SCAN_SEG", 2048))))
+                "GENSTARK_TRACE_SCAN_SEG", 8192))))
             while T % nseg:
                 nseg -= 1
             self._trace_scan_nseg = nseg
