@@ -63,3 +63,14 @@ def test_export_cache_roundtrip(tmp_path, monkeypatch):
     assert cold == warm
     if entries:
         assert any(e.startswith("pipeline_packed-") for e in entries)
+
+
+def test_candidate_exhaustion_triggers_fallback(monkeypatch):
+    """A too-small device candidate window (found < count) must trigger the
+    automatic host-sampled fallback and still produce the canonical
+    bytes."""
+    from genstark_tpu.protocol.fused import FusedProver
+    want = _prove_bytes(_foo_stark())
+    monkeypatch.setattr(FusedProver, "_n_cand", staticmethod(lambda c: 8))
+    got = _prove_bytes(_foo_stark())
+    assert got == want
